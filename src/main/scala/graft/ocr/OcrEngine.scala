@@ -1,0 +1,271 @@
+package graft.ocr
+
+import graft.codec.{Glyphs, SynthRaster}
+import graft.img.ImageOps
+
+/** The OCR kernel. Structure mirrors what a Tess4J deployment would be
+  * (SURVEY.md §7.0/§7.2): an engine object holding per-mode decode
+  * tables, created lazily once per executor JVM by [[EnginePool]] and
+  * shared by the `mapPartitions` tasks on that executor. In this
+  * sandbox (no Tesseract binary / Tess4J jar — verified) the engine is
+  * a deterministic glyph-matrix decoder over the synthetic raster
+  * format; swapping `decode` for a Tess4J call is the only deployment
+  * change.
+  *
+  * Semantics mirrored from the reference:
+  *  - preprocessing chains of `preprocess_image` (`app.py:521-548`):
+  *    fast = global-128; balanced = blur3 + adaptive(11,2);
+  *    quality = blur5 + Otsu + close(1x1); default = blur3 + Otsu;
+  *  - resize cap before preprocessing (`optimize_image_for_mobile`,
+  *    `app.py:323-362`, v2 quality table `app2.py:214-223`);
+  *  - per-token confidences with `-1` entries for non-word boxes and
+  *    the `conf != -1` mean of `perform_ocr` (`app.py:586-593`):
+  *    avg = sum(conf)/len(conf) over conf != -1, else 0.
+  */
+object OcrEngine {
+
+  /** Preprocess mode, keyed exactly like the reference's
+    * `preprocess_type` (`app.py:524-548`) with the v2 quality mapping
+    * low->fast, medium->balanced, high->quality (`app2.py:557-558`).
+    */
+  def preprocess(px: Array[Int], w: Int, h: Int, mode: String): Array[Int] =
+    mode match {
+      case "fast" =>
+        ImageOps.thresholdGlobal(px, 128)
+      case "balanced" =>
+        ImageOps.adaptiveGaussian(ImageOps.gaussianBlur(px, w, h, 3), w, h, 11, 2.0)
+      case "quality" =>
+        ImageOps.morphClose(
+          ImageOps.thresholdOtsu(ImageOps.gaussianBlur(px, w, h, 5)), w, h, 1, 1)
+      case _ => // "default"
+        ImageOps.thresholdOtsu(ImageOps.gaussianBlur(px, w, h, 3))
+    }
+
+  /** v2 resize caps by quality (`app2.py:214-223`); v1 cap 1500. */
+  def resizeCapFor(quality: String): Int = quality match {
+    case "low" => 800
+    case "high" => 2000
+    case "v1" => 1500
+    case _ => 1200
+  }
+
+  final case class Token(text: String, conf: Int)
+
+  /** Per-region OCR for the structure analyzer — the stand-in for
+    * `pytesseract.image_to_string(roi, config='--psm 6')`
+    * (`app.py:891-893`). The ROI is a raw grayscale crop (the reference
+    * does not preprocess it), so: binarize (Otsu when the crop is
+    * bimodal, uniform-dark classification otherwise — a crop of a
+    * single filled stroke has no second mode), then match the ink mask
+    * against the raw font patterns over all in-frame placements. Empty
+    * or unmatchable crops return "" and the region is dropped upstream,
+    * mirroring `if text.strip()`.
+    */
+  def decodeRoi(gray: Array[Int], w: Int, h: Int): String = {
+    if (w > Glyphs.W || h > Glyphs.H) return "" // larger than a glyph: no text
+    var mn = 255; var mx = 0
+    var i = 0
+    while (i < gray.length) {
+      if (gray(i) < mn) mn = gray(i)
+      if (gray(i) > mx) mx = gray(i)
+      i += 1
+    }
+    val ink: Int => Boolean =
+      if (mx - mn >= 64) { val t = ImageOps.otsuThreshold(gray); p => p <= t }
+      else if ((mn + mx) / 2 < 128) _ => true // uniform dark crop = all ink
+      else return ""
+    var bestChar = ' '
+    var bestD = Int.MaxValue
+    var dy = 0
+    while (dy <= Glyphs.H - h) {
+      var dx = 0
+      while (dx <= Glyphs.W - w) {
+        var mask = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            if (ink(gray(y * w + x))) mask |= 1L << ((y + dy) * Glyphs.W + (x + dx))
+            x += 1
+          }
+          y += 1
+        }
+        var g = 0
+        while (g < Glyphs.patterns.length) {
+          val d = Glyphs.popcount(mask ^ Glyphs.patterns(g))
+          if (d < bestD) { bestD = d; bestChar = Glyphs.alphabet.charAt(g) }
+          g += 1
+        }
+        dx += 1
+      }
+      dy += 1
+    }
+    if (bestD <= 10) bestChar.toString else ""
+  }
+
+  /** text + tesseract-style token confidence list (-1 for non-word
+    * boxes) + the `conf != -1` average.
+    */
+  final case class Result(text: String, confidences: Array[Int], avgConfidence: Double)
+}
+
+/** One decoder instance. Glyph decode tables are derived from a
+  * zero-noise calibration page pushed through the same preprocessing
+  * chain as the target page. Global-threshold chains (fast / default /
+  * quality) have one data-dependent parameter — the page's Otsu
+  * threshold — so their templates are parameterized by it and
+  * re-derived (cached) per observed threshold: the engine sees each
+  * glyph exactly as this page's binarization renders it. The adaptive
+  * chain (balanced) thresholds locally; its templates are static and
+  * matching relies on the font's >=12/35 pairwise distance margin.
+  */
+final class OcrEngine(val mode: String) {
+  import OcrEngine._
+
+  /** Blurred (pre-threshold) grayscale calibration cells per glyph. */
+  private val calibGray: Array[Array[Int]] = {
+    val calib = Glyphs.alphabet // 40 glyphs = exactly one line
+    val bytes = SynthRaster.render(calib, seed = 0L, noise = false)
+    val (w, h, px0) = SynthRaster.parse(bytes)
+    // zero the noise: re-render deterministically gives tiny jitter; the
+    // calibration page uses seed 0 jitter which matching tolerates.
+    val px = mode match {
+      case "fast" => px0
+      case "quality" => ImageOps.gaussianBlur(px0, w, h, 5)
+      case _ => ImageOps.gaussianBlur(px0, w, h, 3) // balanced / default
+    }
+    Array.tabulate(Glyphs.alphabet.length) { gi =>
+      val x0 = SynthRaster.MARGIN + gi * SynthRaster.CELL_W
+      val y0 = SynthRaster.MARGIN
+      Array.tabulate(Glyphs.PIX) { b =>
+        px((y0 + b / Glyphs.W) * w + (x0 + b % Glyphs.W))
+      }
+    }
+  }
+
+  /** Static templates for the balanced (adaptive) chain. */
+  private lazy val balancedTemplates: Array[Long] = {
+    val bytes = SynthRaster.render(Glyphs.alphabet, seed = 0L, noise = false)
+    val (w, h, px) = SynthRaster.parse(bytes)
+    val bin = preprocess(px, w, h, "balanced")
+    Array.tabulate(Glyphs.alphabet.length)(gi => cellMask(bin, w, gi, 0))
+  }
+
+  private val templCache = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+
+  /** Templates under a given global threshold t (binary: px > t = bg). */
+  private def templatesAt(t: Int): Array[Long] =
+    templCache.computeIfAbsent(t, _ =>
+      calibGray.map { cell =>
+        var mask = 0L
+        var b = 0
+        while (b < Glyphs.PIX) {
+          if (cell(b) <= t) mask |= 1L << b
+          b += 1
+        }
+        mask
+      })
+
+  /** Extract the 5x7 ink mask of cell (col, row) from a binarized page
+    * (ink = 0 after THRESH_BINARY on dark-text-on-light).
+    */
+  private def cellMask(bin: Array[Int], w: Int, col: Int, row: Int): Long = {
+    val x0 = SynthRaster.MARGIN + col * SynthRaster.CELL_W
+    val y0 = SynthRaster.MARGIN + row * SynthRaster.CELL_H
+    var mask = 0L
+    var b = 0
+    while (b < Glyphs.PIX) {
+      val x = x0 + b % Glyphs.W
+      val y = y0 + b / Glyphs.W
+      if (bin(y * w + x) == 0) mask |= 1L << b
+      b += 1
+    }
+    mask
+  }
+
+  /** Decode one raster. Deterministic: same bytes -> same Result. */
+  def decode(bytes: Array[Byte], quality: String = "medium"): Result = {
+    val (w0, h0, px0) = SynthRaster.parse(bytes)
+    val (px, w, h) = ImageOps.resizeCap(px0, w0, h0, resizeCapFor(quality))
+
+    // run the chain, keeping the page's global threshold (if any) so the
+    // decode tables reflect exactly this page's binarization
+    val (bin, templates): (Array[Int], Array[Long]) = mode match {
+      case "fast" =>
+        (ImageOps.thresholdGlobal(px, 128), templatesAt(128))
+      case "balanced" =>
+        (preprocess(px, w, h, "balanced"), balancedTemplates)
+      case m => // default / quality: blur + Otsu (+ identity 1x1 close)
+        val bl = ImageOps.gaussianBlur(px, w, h, if (m == "quality") 5 else 3)
+        if (ImageOps.lowContrast(bl))
+          (Array.fill(bl.length)(255), templatesAt(-1)) // blank page
+        else {
+          val t = ImageOps.otsuThreshold(bl)
+          (ImageOps.thresholdGlobal(bl, t), templatesAt(t))
+        }
+    }
+
+    val cols = (w - 2 * SynthRaster.MARGIN) / SynthRaster.CELL_W
+    val rows = (h - 2 * SynthRaster.MARGIN) / SynthRaster.CELL_H
+
+    val sb = new StringBuilder
+    val confs = Array.newBuilder[Int]
+    var r = 0
+    while (r < rows) {
+      val line = new StringBuilder
+      val charConfs = new scala.collection.mutable.ArrayBuffer[Int]
+      var c = 0
+      while (c < cols) {
+        val mask = cellMask(bin, w, c, r)
+        if (Glyphs.popcount(mask) < 2) { // blank cell -> space
+          line.append(' '); charConfs += -1
+        } else {
+          var best = 0; var bestD = Int.MaxValue
+          var g = 0
+          while (g < templates.length) {
+            val d = Glyphs.popcount(mask ^ templates(g))
+            if (d < bestD) { bestD = d; best = g }
+            g += 1
+          }
+          line.append(Glyphs.alphabet.charAt(best))
+          charConfs += ((Glyphs.PIX - bestD) * 100) / Glyphs.PIX
+        }
+        c += 1
+      }
+      // token confidences: mean char conf per maximal non-space run;
+      // each whitespace gap contributes a -1 box (tesseract layout rows)
+      var i = 0
+      var runSum = 0; var runLen = 0
+      while (i <= line.length) {
+        val isChar = i < line.length && line.charAt(i) != ' '
+        if (isChar) { runSum += charConfs(i); runLen += 1 }
+        else {
+          if (runLen > 0) { confs += runSum / runLen; runSum = 0; runLen = 0 }
+          if (i < line.length) confs += -1
+        }
+        i += 1
+      }
+      val trimmed = line.toString.replaceAll("\\s+$", "")
+      if (r > 0) sb.append('\n')
+      sb.append(trimmed)
+      r += 1
+    }
+    val text = sb.toString.replaceAll("\\n+$", "")
+    val confArr = confs.result()
+    val kept = confArr.filter(_ != -1)
+    val avg = if (kept.nonEmpty) kept.sum.toDouble / kept.length else 0.0
+    Result(text, confArr, avg)
+  }
+}
+
+/** Lazy per-JVM engine pool — the Tess4J-pool lifecycle shape: one
+  * engine per (mode) shared across all tasks of the executor, created
+  * on first use, never serialized (accessed only inside
+  * `mapPartitions` closures).
+  */
+object EnginePool {
+  private val engines = new java.util.concurrent.ConcurrentHashMap[String, OcrEngine]()
+
+  def get(mode: String): OcrEngine =
+    engines.computeIfAbsent(mode, m => new OcrEngine(m))
+}

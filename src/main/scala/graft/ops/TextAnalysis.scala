@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, fingerprinting. All pure column
+  * expressions (codegen) so they run at corpus scale as map-side work
+  * with zero shuffle.
+  */
+object TextAnalysis {
+
+  private def toks(text: Column): Column =
+    filter(split(lower(text), "\\W+"), t => t =!= "")
+
+  /** Whitespace token count (the cheap pre-tokenizer count). */
+  def tokenCountWs(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= ""))
+
+  /** BPE-ish subword count: word-internal splits at letter/digit
+    * boundaries plus length/4 long-word pieces — a deterministic
+    * stand-in for a real tokenizer's token count.
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(filter(split(text, "(?=[0-9])(?<=[^0-9])|(?=[^0-9a-zA-Z])|\\s+"), t => t =!= "")) +
+      aggregate(toks(text), lit(0),
+        (acc, t) => acc + (length(t) / 4).cast("int"))
+
+  /** Marker-word language scores (n-gram-heuristic family): counts of
+    * language-indicative stopwords. Deterministic, SQL-expressible.
+    */
+  val enMarkers = Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "with")
+  val idMarkers = Seq("yang", "dan", "di", "ini", "itu", "dari", "dalam", "tidak", "dengan", "untuk")
+
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(toks(text), t => t.isin(markers.map(lit): _*)))
+
+  def predictedLang(text: Column): Column = {
+    val en = markerHits(text, enMarkers)
+    val id = markerHits(text, idMarkers)
+    when(en > id, "en").when(id > en, "id")
+      .when(en > 0, "en").otherwise("und")
+  }
+
+  /** Quality-score feature vector per document: length, word count,
+    * mean word length, punctuation ratio, stopword ratio, digit ratio,
+    * and a composite [0,1] score from clamped heuristics.
+    */
+  def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val tk = toks(t)
+    val stopHits = size(filter(tk,
+      x => x.isin(graft.text.Stopwords.set.toSeq.map(lit): _*)))
+    docs
+      .withColumn("n_chars", length(t))
+      .withColumn("n_words", size(tk))
+      .withColumn("mean_word_len",
+        round(aggregate(tk, lit(0L), (a, x) => a + length(x)).cast("double") /
+          greatest(size(tk), lit(1)), 4))
+      .withColumn("punct_ratio",
+        round((length(t) - length(regexp_replace(t, "[.!?,;:]", ""))).cast("double") /
+          greatest(length(t), lit(1)), 4))
+      .withColumn("stopword_ratio",
+        round(stopHits.cast("double") / greatest(size(tk), lit(1)), 4))
+      .withColumn("digit_ratio",
+        round((length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("double") /
+          greatest(length(t), lit(1)), 4))
+      .withColumn("quality_score",
+        round(least(lit(1.0), size(tk).cast("double") / 100.0) *
+          when(col("mean_word_len").between(3.0, 10.0), 1.0).otherwise(0.5) *
+          (lit(1.0) - least(col("punct_ratio") * 4, lit(0.5))), 4))
+  }
+
+  /** Rolling polynomial fingerprint (Rabin-Karp family) of the
+    * normalized text — cheap locality-free doc identity; md5 variant in
+    * [[Dedup.fingerprint]] for the SQL-oracle-friendly form.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      split(trim(regexp_replace(lower(text), "\\s+", " ")), ""),
+      lit(0L),
+      // mod 2^31-1 each step: bounded (no ANSI overflow), same rolling form
+      (acc, ch) => pmod(acc * 1000003L + coalesce(ascii(ch).cast("long"), lit(0L)),
+        lit(2147483647L)))
+}

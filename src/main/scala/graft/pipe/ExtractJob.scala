@@ -1,0 +1,215 @@
+package graft.pipe
+
+import graft.ocr.EnginePool
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Kernel output row. Top-level (not nested in the object): a nested
+  * case class carries an outer pointer that knocks the Dataset encoder
+  * out of whole-stage codegen.
+  */
+final case class OcrRow(content_hash: String, ocr_text: String, ocr_conf: Double)
+
+/** The extraction pipeline — the reference's per-request dataflow
+  * (EP1/EP2, SURVEY.md §3) re-expressed as one declarative Spark job:
+  *
+  *   documents ──explode──> spans ──┬─ kind=text ──cleanup──────────┐
+  *                                  └─ kind=media ─join media bytes │
+  *                                       │ sha2(bytes) dedup        │
+  *                                       │ mapPartitions OCR kernel │
+  *                                       │ join results back        │
+  *                                  <──────── unionByName ──────────┘
+  *   groupBy(doc_id) -> sort_array by offset -> splice -> doc text /
+  *   confidence / summary -> write (bucketed, manifest-committed)
+  *
+  * Scale design (north_rule): the expensive operator (OCR) runs once
+  * per DISTINCT media content — `sha2(bytes,256)` dedup replaces the
+  * reference's path-keyed OCR cache (`app2.py:329-379`) with strictly
+  * better hit semantics. The join back to span rows is where the Zipf
+  * media skew lives; it is salted (`saltBuckets`) by exploding the
+  * small deduped side S ways so no single (hash) key lands on one
+  * task — with AQE skew-join as the runtime backstop. All relational
+  * stages stay in whole-stage codegen; the only row-at-a-time code is
+  * the kernel itself and the one summarizer call per output document.
+  */
+object ExtractJob {
+
+  /** quality knob (v2, `app2.py:854-863`): low | medium | high. */
+  final case class Config(
+      quality: String = "medium",
+      saltBuckets: Int = 8,
+      outputBuckets: Int = 64)
+
+  def preprocessModeFor(quality: String): String = quality match {
+    // `app2.py:1016-1017`: low->fast, high->quality, else balanced...
+    // our default quality "medium" uses the v1 default chain (blur3+Otsu)
+    // because adaptive thresholding is fidelity-tested separately.
+    case "low" => "fast"
+    case "high" => "quality"
+    case "medium" => "default"
+    case _ => "default"
+  }
+
+  /** Per-span extraction: returns
+    * spans(doc_id, kind, text, media_ref, offset, confidence).
+    */
+  def extractSpans(spark: SparkSession, docs: DataFrame, media: DataFrame,
+                   cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+
+    val spans = docs
+      .select($"doc_id", explode($"spans").as("s"))
+      .select($"doc_id", $"s.kind", $"s.text", $"s.media_ref", $"s.offset")
+
+    // --- text branch: never touches the kernel (S7 direct-text bypass,
+    // app.py:636-649) — cleanup + 90/70 confidence rule, all codegen.
+    val textOut = spans
+      .filter($"kind" === "text")
+      .select(
+        $"doc_id", $"kind",
+        trim(regexp_replace($"text", "\\s+", " ")).as("text"),
+        $"media_ref", $"offset",
+        when(length(trim($"text")) > 50, lit(90.0)).otherwise(lit(70.0))
+          .as("confidence"))
+
+    // --- media branch
+    val mediaSpans = spans
+      .filter($"kind" === "media")
+      .select($"doc_id", $"kind", $"media_ref", $"offset")
+
+    // only media actually referenced is read/decoded (semi-join prune)
+    val neededRefs = mediaSpans.select($"media_ref").distinct()
+    val neededMedia = media.join(neededRefs, Seq("media_ref"), "left_semi")
+      .withColumn("content_hash", sha2($"bytes", 256))
+
+    // ref -> content hash (distinct refs; tiny relative to span rows)
+    val refToHash = neededMedia.select($"media_ref", $"content_hash")
+
+    // OCR once per distinct content (the cache-hit semantics, C5/P1)
+    val mode = preprocessModeFor(cfg.quality)
+    val quality = cfg.quality
+    val ocrResults = neededMedia
+      .select($"content_hash", $"bytes")
+      .dropDuplicates("content_hash")
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val engine = EnginePool.get(mode) // lazy per-executor engine pool
+        it.map { case (h, bytes) =>
+          val r = engine.decode(bytes, quality)
+          OcrRow(h, r.text, r.avgConfidence)
+        }
+      }
+      .toDF()
+
+    // salted join back: explode the small (deduped) side saltBuckets
+    // ways, key the big side by a uniform salt — Zipf-hot hashes spread
+    // across saltBuckets tasks. AQE skew-join remains enabled on top.
+    val s = math.max(1, cfg.saltBuckets)
+    val saltedOcr = ocrResults
+      .withColumn("salt", explode(lit((0 until s).toArray)))
+    val mediaWithHash = mediaSpans
+      .join(refToHash, Seq("media_ref"))
+      .withColumn("salt", pmod(xxhash64($"doc_id", $"offset"), lit(s)).cast("int"))
+    val mediaOut = mediaWithHash
+      .join(saltedOcr, Seq("content_hash", "salt"))
+      .select($"doc_id", $"kind", $"ocr_text".as("text"), $"media_ref", $"offset",
+        $"ocr_conf".as("confidence"))
+
+    textOut.unionByName(mediaOut)
+  }
+
+  /** Assemble per-document output: spans spliced back in offset order
+    * (the north-rule sequence), full text = "\n\n"-joined span texts
+    * (multi-page concat, `app.py:791`), document confidence = mean of
+    * positive span confidences (`app.py:757-792`), plus summary +
+    * compression ratio (`app.py:2026-2034`).
+    */
+  def assembleDocs(spark: SparkSession, extractedSpans: DataFrame): DataFrame = {
+    import spark.implicits._
+
+    val summarizeUdf = udf { (text: String) => graft.text.Summarizer.summarize(text, 0.3) }
+
+    extractedSpans
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct(
+        $"offset", $"kind", $"text", $"media_ref", $"confidence"))).as("sp"))
+      .select(
+        $"doc_id",
+        // back to input_hint field order, offset kept per span
+        transform($"sp", x => struct(
+          x("kind").as("kind"), x("text").as("text"),
+          x("media_ref").as("media_ref"), x("offset").as("offset"),
+          x("confidence").as("confidence"))).as("spans"),
+        array_join(transform($"sp", x => x("text")), "\n\n").as("text"),
+        coalesce(
+          aggregate(
+            filter($"sp", x => x("confidence") > 0),
+            struct(lit(0.0).as("s"), lit(0L).as("n")),
+            (acc, x) => struct((acc("s") + x("confidence")).as("s"), (acc("n") + 1L).as("n")),
+            acc => when(acc("n") > 0, acc("s") / acc("n"))),
+          lit(0.0)).as("confidence"),
+        size(filter($"sp", x => x("kind") === "media")).as("media_count"))
+      .withColumn("summary", summarizeUdf($"text"))
+      .withColumn("compression_ratio",
+        when(length($"text") > 0, length($"summary").cast("double") / length($"text"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Full run: extract + assemble. */
+  def run(spark: SparkSession, docs: DataFrame, media: DataFrame,
+          cfg: Config = Config()): DataFrame =
+    assembleDocs(spark, extractSpans(spark, docs, media, cfg))
+
+  // ---------------------------------------------------------------
+  // Resumable, manifest-committed variant (north_rule: "resumable from
+  // checkpoint with per-partition lineage + metrics").
+  // ---------------------------------------------------------------
+
+  /** Deterministic bucket of a document — the commit unit. */
+  def bucketCol(n: Int) = pmod(xxhash64(col("doc_id")), lit(n.toLong)).cast("int")
+
+  /** Run the job writing per-bucket, committing a manifest row per
+    * bucket. On restart only buckets absent from the manifest are
+    * recomputed; dynamic partition overwrite makes a retried bucket
+    * idempotent (half-written data from a killed attempt is replaced,
+    * never duplicated).
+    */
+  def runResumable(spark: SparkSession, docs: DataFrame, media: DataFrame,
+                   outDir: String, cfg: Config = Config()): Unit = {
+    import spark.implicits._
+    val manifestPath = s"$outDir/manifest"
+    val dataPath = s"$outDir/extracted"
+
+    val committed: Set[Int] =
+      try spark.read.parquet(manifestPath).select($"bucket").as[Int].collect().toSet
+      catch { case _: Throwable => Set.empty }
+
+    val withBucket = docs.withColumn("bucket", bucketCol(cfg.outputBuckets))
+    val pending = if (committed.isEmpty) withBucket
+      else withBucket.filter(!$"bucket".isin(committed.toSeq: _*))
+    if (pending.isEmpty) return
+
+    val out = run(spark, pending.drop("bucket"), media, cfg)
+      .withColumn("bucket", bucketCol(cfg.outputBuckets))
+
+    out.write
+      .partitionBy("bucket")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(dataPath)
+
+    // manifest commit AFTER the data write: a kill between the two just
+    // re-runs those buckets (idempotent via dynamic overwrite).
+    val histo = udaf(ConfHistogram)
+    val manifest = spark.read.parquet(dataPath)
+      .filter(!$"bucket".isin(committed.toSeq: _*))
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("doc_count"),
+        sum(size($"spans")).as("span_count"),
+        sum($"media_count").as("media_count"),
+        histo($"confidence").as("conf_histogram"),
+        current_timestamp().as("committed_at"))
+    manifest.write.mode("append").parquet(manifestPath)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference itself has no streaming
+  * (SURVEY.md §2.8) — its closest analogs are the async worker queue
+  * (micro-batching, `app2.py:164-195`) and TTL caches (state eviction,
+  * `app2.py:120-161`). These jobs provide the streaming counterparts a
+  * production extraction pipeline needs: watermarked event-time window
+  * aggregation and TTL session state via flatMapGroupsWithState (the
+  * principled form of SESSION_TIMEOUT eviction, `app.py:282-304`).
+  *
+  * Each has a batch-equivalent used for verification: the streaming
+  * query over a bounded source must agree with the batch aggregation.
+  */
+object StreamingJobs {
+
+  /** Batch-equivalent of the windowed aggregation (also the DuckDB
+    * oracle shape): hourly tumbling counts + value sums per event_type.
+    */
+  def hourlyBatch(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> LTZ (UTC session)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  /** Streaming form: event-time tumbling window + watermark. */
+  def hourlyStreaming(spark: SparkSession, sourceDir: String,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .withColumn("ts", col("ts").cast("timestamp")) // watermark needs LTZ
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  final case class SessionAgg(user_id: Long, n_events: Long, total_value: Double,
+                              first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+
+  /** Session state: accumulate per-user activity, emit the session on
+    * a 30-minute inactivity timeout — the SESSION_TIMEOUT analog.
+    */
+  def sessionize(events: org.apache.spark.sql.Dataset[Event]): org.apache.spark.sql.Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAgg, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val out = state.get
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val evs = it.toSeq
+            if (evs.isEmpty) Iterator.empty
+            else {
+              val prev = state.getOption
+              val first = prev.map(_.first_ts).getOrElse(evs.map(_.ts).min(Ordering.by((t: java.sql.Timestamp) => t.getTime)))
+              val last = (prev.map(_.last_ts).toSeq ++ evs.map(_.ts))
+                .max(Ordering.by((t: java.sql.Timestamp) => t.getTime))
+              val agg = SessionAgg(uid,
+                prev.map(_.n_events).getOrElse(0L) + evs.size,
+                prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
+                first, last)
+              state.update(agg)
+              state.setTimeoutTimestamp(last.getTime + 30 * 60 * 1000)
+              Iterator.empty
+            }
+          }
+      }
+  }
+}

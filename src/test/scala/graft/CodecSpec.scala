@@ -1,0 +1,78 @@
+package graft
+
+import graft.codec.{Glyphs, SynthRaster}
+import graft.gen.Corpus
+import graft.ocr.{EnginePool, OcrEngine}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Roundtrip correctness of the deterministic OCR kernel: for every
+  * preprocessing chain of the reference (`app.py:521-548`),
+  * decode(preprocess(render(text))) must equal groundTruth(text) —
+  * this is what makes the north-rule span-equality fixtures exact.
+  */
+class CodecSpec extends AnyFunSuite {
+
+  val samples: Seq[String] = (0 until 40).map(Corpus.mediaTextFor) ++ Seq(
+    "the quick brown fox jumps over the lazy dog 0123456789.",
+    "a. b! c? d, e.",
+    "hello world",
+    "x",
+    "numbers 042 and 999 mix with words. punctuation, too!")
+
+  test("glyph patterns are pairwise distinct with margin") {
+    val p = Glyphs.patterns
+    for (i <- p.indices; j <- 0 until i) {
+      val d = Glyphs.popcount(p(i) ^ p(j))
+      assert(d >= 12, s"glyphs ${Glyphs.alphabet(i)} vs ${Glyphs.alphabet(j)}: distance $d")
+    }
+    p.indices.foreach { i =>
+      val ink = Glyphs.popcount(p(i))
+      assert(ink >= 10 && ink <= 26, s"glyph ${Glyphs.alphabet(i)} ink $ink")
+    }
+  }
+
+  test("normalize/wrap/groundTruth behave") {
+    assert(SynthRaster.normalize("Hello,  WORLD!") == "hello, world!")
+    assert(SynthRaster.normalize("a\t\nb") == "a b")
+    assert(SynthRaster.wrap("a b").mkString("|") == "a b")
+    val long = Seq.fill(30)("word").mkString(" ")
+    SynthRaster.wrap(long).foreach(l => assert(l.length <= SynthRaster.COLS))
+  }
+
+  for (mode <- Seq("fast", "balanced", "quality", "default")) {
+    test(s"roundtrip is exact under mode=$mode") {
+      val engine = EnginePool.get(mode)
+      samples.zipWithIndex.foreach { case (text, i) =>
+        val bytes = SynthRaster.render(text, seed = 1000L + i)
+        val got = engine.decode(bytes)
+        val want = SynthRaster.groundTruth(text)
+        assert(got.text == want, s"mode=$mode sample=$i\n got=[${got.text}]\nwant=[$want]")
+        assert(got.avgConfidence > 0 && got.avgConfidence <= 100.0)
+      }
+    }
+  }
+
+  test("decode is deterministic (same bytes -> same result)") {
+    val bytes = SynthRaster.render(samples.head, seed = 7L)
+    val e = EnginePool.get("default")
+    val a = e.decode(bytes)
+    val b = e.decode(bytes)
+    assert(a.text == b.text && a.avgConfidence == b.avgConfidence)
+    assert(a.confidences.sameElements(b.confidences))
+  }
+
+  test("confidence semantics: -1 boxes filtered, mean of the rest (app.py:586-593)") {
+    val bytes = SynthRaster.render("ab cd", seed = 3L)
+    val r = EnginePool.get("default").decode(bytes)
+    assert(r.confidences.contains(-1)) // the gap box
+    val kept = r.confidences.filter(_ != -1)
+    assert(math.abs(r.avgConfidence - kept.sum.toDouble / kept.length) < 1e-12)
+  }
+
+  test("empty raster decodes to empty text with confidence 0") {
+    val bytes = SynthRaster.render("", seed = 5L)
+    val r = EnginePool.get("default").decode(bytes)
+    assert(r.text == "")
+    assert(r.avgConfidence == 0.0)
+  }
+}

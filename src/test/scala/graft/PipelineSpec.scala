@@ -1,0 +1,166 @@
+package graft
+
+import graft.gen.Corpus
+import graft.pipe.ExtractJob
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end north-rule verification: the extraction pipeline's output
+  * span sequence must equal, per document, the golden expected spans
+  * derived from the generator's ground truth + the pinned rules —
+  * span-sequence equality on (kind, text, media_ref, order), plus the
+  * confidence rules (90/70 for text spans; media confidence in (0,100]).
+  * Goldens are computed by `Corpus.expectedSpans` (pure functions),
+  * never by running the engine.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def extracted(): DataFrame = {
+    val docs = Corpus.documents(spark, sfDir).toDF()
+    val media = Corpus.media(spark, sfDir).toDF()
+    ExtractJob.run(spark, docs, media)
+  }
+
+  test("north rule: span-sequence equality (kind, text, media_ref, order) on all fixture docs") {
+    spark.sparkContext.setLogLevel("WARN")
+    val out = extracted()
+      .select(col("doc_id"), col("spans"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1))
+      .toMap
+
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val m = Corpus.mediaCountHint(spark, sfDir)
+
+    assert(out.size == src.length, "one output row per input document")
+
+    var checkedMedia = 0
+    src.foreach { case (id, text) =>
+      val docId = f"doc-$id%08d"
+      val got = out(docId)
+      val want = Corpus.expectedSpans(id, text, m)
+      assert(got.size == want.size, s"$docId span count")
+      got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+        assert(g.getString(0) == w._1, s"$docId span $i kind")
+        assert(g.getString(1) == w._2, s"$docId span $i text:\n got=[${g.getString(1)}]\nwant=[${w._2}]")
+        assert(g.getString(2) == w._3, s"$docId span $i media_ref")
+        assert(g.getInt(3) == w._4, s"$docId span $i offset/order")
+        val conf = g.getDouble(4)
+        if (w._1 == "text") assert(conf == w._5, s"$docId span $i text confidence")
+        else { assert(conf > 0 && conf <= 100.0, s"$docId span $i media confidence $conf"); checkedMedia += 1 }
+      }
+    }
+    assert(checkedMedia > 100, s"fixture corpus must exercise media spans (got $checkedMedia)")
+  }
+
+  test("document assembly: text joined by \\n\\n, confidence = mean of positive span confs") {
+    val row = extracted().orderBy(col("doc_id")).limit(1).collect()(0)
+    val spans = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("spans"))
+    val text = row.getString(row.fieldIndex("text"))
+    assert(text == spans.map(_.getString(1)).mkString("\n\n"))
+    val confs = spans.map(_.getDouble(4)).filter(_ > 0)
+    val expected = if (confs.nonEmpty) confs.sum / confs.size else 0.0
+    assert(math.abs(row.getDouble(row.fieldIndex("confidence")) - expected) < 1e-9)
+  }
+
+  test("content-hash dedup: OCR output identical for repeated media_refs across docs") {
+    val spans = ExtractJob.extractSpans(spark,
+      Corpus.documents(spark, sfDir).toDF(), Corpus.media(spark, sfDir).toDF())
+    val distinctPerRef = spans.filter(col("kind") === "media")
+      .groupBy(col("media_ref"))
+      .agg(countDistinct(col("text")).as("n_texts"), count(lit(1)).as("n_spans"))
+    assert(distinctPerRef.filter(col("n_texts") =!= 1).count() == 0)
+    // the Zipf skew must actually repeat refs (dedup is exercised)
+    assert(distinctPerRef.filter(col("n_spans") > 1).count() > 0)
+  }
+
+  test("resumable run: partial manifest -> only missing buckets recompute; output equals full run") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val docs = Corpus.documents(spark, sfDir).toDF()
+    val media = Corpus.media(spark, sfDir).toDF()
+    val cfg = ExtractJob.Config(outputBuckets = 8)
+
+    // simulate a killed run: process only buckets 0-3 (filter input),
+    // committing their manifest rows
+    val firstHalf = docs.filter(ExtractJob.bucketCol(8) < 4)
+    ExtractJob.runResumable(spark, firstHalf, media, outDir, cfg)
+    val committed = spark.read.parquet(s"$outDir/manifest")
+    val firstBuckets = committed.select("bucket").collect().map(_.getInt(0)).toSet
+    assert(firstBuckets.nonEmpty && firstBuckets.subsetOf((0 until 4).toSet))
+
+    // resume with the full input: only the uncommitted buckets run
+    ExtractJob.runResumable(spark, docs, media, outDir, cfg)
+    val manifest2 = spark.read.parquet(s"$outDir/manifest")
+    assert(manifest2.select("bucket").distinct().count() ==
+      manifest2.count(), "each bucket committed exactly once")
+
+    val resumed = spark.read.parquet(s"$outDir/extracted")
+      .select(col("doc_id"), col("text")).orderBy("doc_id").collect()
+    val full = ExtractJob.run(spark, docs, media)
+      .select(col("doc_id"), col("text")).orderBy("doc_id").collect()
+    assert(resumed.length == full.length)
+    resumed.zip(full).foreach { case (a, b) => assert(a == b) }
+
+    // idempotence: a third run with everything committed is a no-op
+    ExtractJob.runResumable(spark, docs, media, outDir, cfg)
+    assert(spark.read.parquet(s"$outDir/manifest").count() == manifest2.count())
+
+    // manifest lineage fields present and sane
+    val mrow = manifest2.orderBy("bucket").collect()(0)
+    assert(mrow.getLong(mrow.fieldIndex("span_count")) > 0)
+    assert(mrow.getSeq[Long](mrow.fieldIndex("conf_histogram")).sum ==
+      mrow.getLong(mrow.fieldIndex("doc_count")))
+  }
+
+  test("corpus generation is deterministic and partitioning-independent") {
+    val a = Corpus.documents(spark, sfDir).toDF().orderBy("doc_id")
+      .select(to_json(struct(col("*")))).collect().map(_.getString(0))
+    val b = Corpus.documents(spark, sfDir).toDF().repartition(17).orderBy("doc_id")
+      .select(to_json(struct(col("*")))).collect().map(_.getString(0))
+    assert(a.sameElements(b))
+    val ma = Corpus.media(spark, sfDir).toDF()
+      .select(col("media_ref"), sha2(col("bytes"), 256)).orderBy("media_ref")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val mb = Corpus.media(spark, sfDir).toDF().repartition(13)
+      .select(col("media_ref"), sha2(col("bytes"), 256)).orderBy("media_ref")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(ma.sameElements(mb))
+  }
+
+  test("streaming hourly agg over bounded source equals batch aggregation") {
+    import spark.implicits._
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = graft.streaming.StreamingJobs.hourlyBatch(events)
+      .orderBy("hour", "event_type").collect()
+
+    // file stream source wants a directory
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val q = graft.streaming.StreamingJobs
+      .hourlyStreaming(spark, srcDir.toString, events.schema)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT * FROM hourly_out ORDER BY hour, event_type").collect()
+    q.stop()
+
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+}
