@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local mode = single JVM: driver heap is the only memory knob and
+  // 32 executor threads need room (the box has 128 GiB).
+  // ParallelGC + preallocated heap: G1 with a growing heap collapses
+  // under 32 allocation-heavy executor threads on this box (measured
+  // 24x slowdown on an allocation microbenchmark — THP/heap-growth
+  // stalls); ParallelGC with -Xms=-Xmx restores linear scaling.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  "-XX:+UseParallelGC",
 )

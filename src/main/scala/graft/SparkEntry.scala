@@ -1,7 +1,7 @@
 package graft
 
 import graft.gen.Corpus
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.pipe.{ExtractJob, StructureJob}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -254,8 +254,42 @@ object SparkEntry {
       val pairs = Dedup.simhashPairs(docs, maxDist = 24).select(col("id_a"), col("id_b"))
       Dedup.ngramJaccard(docs, pairs)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "x09_mm_metadata" -> ((s, dir) => {
+      Multimodal.metadata(s, mixedMedia(s, dir)).toDF()
+        .orderBy(col("media_ref"))
+    }),
+
+    "x10_mm_frames" -> ((s, dir) => {
+      Multimodal.frameSampleTable(s, mixedMedia(s, dir), stride = 2).toDF()
+        .groupBy(col("media_ref"))
+        .agg(count(lit(1)).as("n_sampled"), min(col("frame_idx")).as("first_frame"),
+          max(col("frame_idx")).as("last_frame"))
+        .orderBy(col("media_ref"))
+    }),
+
+    "x11_mm_image_features" -> ((s, dir) => {
+      Multimodal.imageFeatureTable(s, Corpus.media(s, dir).toDF()).toDF()
+        .select(col("media_ref"), col("width"), col("height"),
+          round(col("mean_intensity"), 2).as("mean_intensity"))
+        .orderBy(col("media_ref"))
     })
   )
+
+  /** Mixed-modality binary table for the multimodal queries: the
+    * corpus's image rasters plus deterministic synthetic video/audio
+    * containers (no external data; seeded by index).
+    */
+  private def mixedMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val images = Corpus.media(s, dir).toDF().limit(20)
+    val synth = s.range(20).map { i =>
+      if (i % 2 == 0) (f"vid-$i%04d", Multimodal.synthVideo(i.toInt))
+      else (f"aud-$i%04d", Multimodal.synthAudio(i.toInt))
+    }.toDF("media_ref", "bytes")
+    images.unionByName(synth)
+  }
 
   private def embDim(s: SparkSession, dir: String): Int =
     s.read.parquet(p(dir, "embeddings")).select(size(col("embedding"))).head().getInt(0)

@@ -46,16 +46,26 @@ object Dedup {
     * approximated by k affine transforms of a 64-bit shingle hash.
     * Pure column expressions — stays in codegen.
     */
-  def minhashSignature(shingleCol: Column, k: Int = 32): Column = {
-    // 31-bit domain keeps a*h + b < 2^62: no overflow under ANSI mode
-    val prime = lit(2147483647L) // 2^31 - 1 (Mersenne)
-    val hashes = (0 until k).map { i =>
+  private val MINHASH_PRIME = 2147483647L // 2^31 - 1 (Mersenne)
+
+  /** Shingle strings -> 31-bit hash array (hash each shingle ONCE;
+    * the k permutations below reuse it — k times cheaper than hashing
+    * per permutation, and 31-bit keeps a*h+b < 2^62 under ANSI mode).
+    */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => pmod(xxhash64(s), lit(MINHASH_PRIME)))
+
+  /** MinHash signature over a pre-hashed shingle array. Pass this a
+    * materialized column (not an inline expression) so the hashing work
+    * is shared across the k mins.
+    */
+  def minhashSignature(hashedCol: Column, k: Int = 32): Column = {
+    val sig = (0 until k).map { i =>
       val a = (graft.util.Det.at(0x5eedL, i.toLong * 2) & 0x7fffffffL) | 1L
       val b = graft.util.Det.at(0x5eedL, i.toLong * 2 + 1) & 0x7fffffffL
-      array_min(transform(shingleCol,
-        s => pmod(pmod(xxhash64(s), prime) * lit(a) + lit(b), prime)))
+      array_min(transform(hashedCol, h => pmod(h * lit(a) + lit(b), lit(MINHASH_PRIME))))
     }
-    array(hashes: _*)
+    array(sig: _*)
   }
 
   /** MinHash + LSH banding near-duplicate pairs.
@@ -70,8 +80,18 @@ object Dedup {
                  k: Int = 32, bands: Int = 8,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val rowsPerBand = k / bands
-    val sigs = docs
-      .select(col(idCol).as("id"), minhashSignature(shingles(col(textCol)), k).as("sig"))
+    // collapse exact duplicates FIRST: clusters of identical text would
+    // otherwise meet in every band bucket and blow the self-join up
+    // quadratically. LSH runs over one representative per distinct
+    // normalized content (standard practice at corpus scale); exact()
+    // reports the identical groups separately.
+    val reps = docs
+      .withColumn("__fp", fingerprint(col(textCol)))
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("__text"))
+    val sigs = reps
+      .withColumn("hashed", shingleHashes(shingles(col("__text"))))
+      .select(col("id"), minhashSignature(col("hashed"), k).as("sig"))
 
     val banded = sigs.select(
       col("id"), col("sig"),
@@ -97,18 +117,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
-  /** 64-bit SimHash over tokens weighted by term frequency. */
+  /** 64-bit SimHash over tokens. Single pass: one aggregate over the
+    * token-hash array with a 64-vote array accumulator (each token
+    * hashed once; per-bit vote +-1; bit set where the vote is
+    * positive). All higher-order column functions — stays in codegen.
+    */
   def simhash(text: Column): Column = {
-    val toks = filter(split(lower(text), "\\W+"), t => t =!= "")
-    // per-bit vote: sum over tokens of (+1 if bit set else -1); bit set
-    // in the result if the vote is positive. Expressed per bit to stay
-    // in codegen (64 aggregate expressions over the token array).
-    val bits = (0 until 64).map { i =>
-      val vote = aggregate(toks, lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val toksH = transform(filter(split(lower(text), "\\W+"), t => t =!= ""),
+      t => xxhash64(t))
+    simhashFromHashes(toksH)
+  }
+
+  private val BIT_MASKS: Column =
+    array((0 until 64).map(i => lit(1L << i)): _*)
+
+  def simhashFromHashes(hashedCol: Column): Column = {
+    val votes = aggregate(hashedCol, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, BIT_MASKS,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(zip_with(votes, BIT_MASKS, (v, m) => when(v > 0, m).otherwise(0L)),
+      lit(0L), (a, x) => a.bitwiseOR(x))
   }
 
   /** SimHash near-dup pairs: group by 16-bit prefix (cheap blocking),
@@ -116,7 +144,13 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 8,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val hashed = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    // same exact-duplicate collapse as minhashLsh: identical docs all
+    // share a simhash and would pair quadratically within their block
+    val reps = docs
+      .withColumn("__fp", fingerprint(col(textCol)))
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("__text"))
+    val hashed = reps.select(col("id"), simhash(col("__text")).as("sh"))
       .withColumn("block", shiftrightunsigned(col("sh"), 48))
     val a = hashed.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = hashed.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))

@@ -1,0 +1,208 @@
+package graft.ops
+
+import graft.codec.SynthRaster
+import graft.img.ImageOps
+import graft.util.Det
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` with typed
+  * metadata, plus the decode / feature-extract / resize / frame-sample
+  * operators a training-data pipeline runs over them.
+  *
+  * The Spark-side plumbing is real — schemas, kernel batch shape
+  * (mapPartitions over iterators, one decoder per partition),
+  * partitioning — and runs at scale exactly like the OCR kernel. The
+  * codec layer is honest about the sandbox: the synthetic raster and
+  * the two fake container formats below are decoded for real; branches
+  * for external codecs (JPEG/PNG, MP3, H.264 — no imaging/AV libraries
+  * in this environment) are clearly-marked stubs that a deployment
+  * replaces with a library call without touching the Spark plumbing.
+  *
+  * Fake containers (deterministic, self-describing):
+  *  - video: [magic 'GVID'][n_frames:int32][per frame: len:int32 +
+  *    synth-raster bytes]
+  *  - audio: [magic 'GAUD'][sample_rate:int32][n_samples:int32]
+  *    [n_samples signed bytes PCM]
+  */
+object Multimodal {
+
+  final case class MediaMeta(media_ref: String, kind: String, width: Int, height: Int,
+                             n_frames: Int, sample_rate: Int, n_samples: Int, n_bytes: Long)
+  final case class ImageFeatures(media_ref: String, width: Int, height: Int,
+                                 mean_intensity: Double, histogram: Seq[Double])
+  final case class AudioFeatures(media_ref: String, duration_ms: Double, rms: Double,
+                                 zero_crossings: Long)
+  final case class FrameRow(media_ref: String, frame_idx: Int, frame: Array[Byte])
+
+  private val VID_MAGIC = Array[Byte]('G', 'V', 'I', 'D')
+  private val AUD_MAGIC = Array[Byte]('G', 'A', 'U', 'D')
+
+  private def i32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def putI32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v >>> 24); out.write((v >>> 16) & 0xff); out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+  }
+
+  // ------------------------------------------------------------------
+  // deterministic synthesis (fixtures / corpus)
+  // ------------------------------------------------------------------
+
+  def synthVideo(i: Int, nFrames: Int = 0): Array[Byte] = {
+    val seed = Det.mix64(0x71de0L, i.toLong)
+    val n = if (nFrames > 0) nFrames else 3 + Det.bounded(Det.at(seed, 0), 6)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(VID_MAGIC, 0, 4)
+    putI32(out, n)
+    (0 until n).foreach { f =>
+      val frame = SynthRaster.render(s"frame $f of video $i", Det.at(seed, 1 + f.toLong))
+      putI32(out, frame.length)
+      out.write(frame, 0, frame.length)
+    }
+    out.toByteArray
+  }
+
+  def synthAudio(i: Int): Array[Byte] = {
+    val seed = Det.mix64(0xa0d10L, i.toLong)
+    val rate = 8000
+    val n = 4000 + Det.bounded(Det.at(seed, 0), 8000)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(AUD_MAGIC, 0, 4)
+    putI32(out, rate); putI32(out, n)
+    var s = 0
+    while (s < n) {
+      // deterministic wave-ish signal: two sines + keyed jitter
+      val v = (40 * math.sin(s * 0.05) + 30 * math.sin(s * 0.013) +
+        (Det.bounded(Det.at(seed, 16 + s.toLong), 9) - 4)).toInt
+      out.write(v.max(-128).min(127) & 0xff)
+      s += 1
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // decode kernels (pure; run inside mapPartitions)
+  // ------------------------------------------------------------------
+
+  def kindOf(bytes: Array[Byte]): String =
+    if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'V') "video"
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'A') "audio"
+    else "image"
+
+  def metaOf(ref: String, bytes: Array[Byte]): MediaMeta = kindOf(bytes) match {
+    case "video" =>
+      val n = i32(bytes, 4)
+      // first frame carries the dimensions
+      val (w, h, _) = SynthRaster.parse(bytes.slice(12, 12 + i32(bytes, 8)))
+      MediaMeta(ref, "video", w, h, n, 0, 0, bytes.length.toLong)
+    case "audio" =>
+      MediaMeta(ref, "audio", 0, 0, 0, i32(bytes, 4), i32(bytes, 8), bytes.length.toLong)
+    case _ =>
+      val (w, h, _) = SynthRaster.parse(bytes)
+      MediaMeta(ref, "image", w, h, 1, 0, 0, bytes.length.toLong)
+  }
+
+  /** Image decode. The synthetic raster decodes for real; compressed
+    * formats are a deployment stub (no imaging libs in this sandbox).
+    */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Int]) =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      // JPEG magic — STUB: deployment replaces with an ImageIO/TwelveMonkeys call
+      throw new UnsupportedOperationException(
+        "compressed-image decode is stubbed in this environment (no imaging libs)")
+    } else SynthRaster.parse(bytes)
+
+  /** Frame sampling: every `stride`-th frame of a video container. */
+  def sampleFrames(bytes: Array[Byte], stride: Int): Vector[(Int, Array[Byte])] = {
+    require(kindOf(bytes) == "video", "not a video container")
+    val n = i32(bytes, 4)
+    var off = 8
+    val out = Vector.newBuilder[(Int, Array[Byte])]
+    var f = 0
+    while (f < n) {
+      val len = i32(bytes, off)
+      if (f % stride == 0) out += ((f, bytes.slice(off + 4, off + 4 + len)))
+      off += 4 + len
+      f += 1
+    }
+    out.result()
+  }
+
+  def imageFeatures(ref: String, bytes: Array[Byte]): ImageFeatures = {
+    val (w, h, px) = decodeImage(bytes)
+    val hist = new Array[Long](16)
+    var sum = 0.0
+    var i = 0
+    while (i < px.length) { hist(px(i) >> 4) += 1; sum += px(i); i += 1 }
+    ImageFeatures(ref, w, h,
+      math.round(sum / px.length * 10000) / 10000.0,
+      hist.map(_.toDouble / px.length).toSeq)
+  }
+
+  def audioFeatures(ref: String, bytes: Array[Byte]): AudioFeatures = {
+    require(kindOf(bytes) == "audio", "not an audio container")
+    val rate = i32(bytes, 4); val n = i32(bytes, 8)
+    var sq = 0.0; var zc = 0L
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val v = bytes(12 + i).toInt
+      sq += v.toDouble * v
+      if (i > 0 && ((v >= 0) != (prev >= 0))) zc += 1
+      prev = v
+      i += 1
+    }
+    AudioFeatures(ref, n * 1000.0 / rate,
+      math.round(math.sqrt(sq / math.max(1, n)) * 10000) / 10000.0, zc)
+  }
+
+  // ------------------------------------------------------------------
+  // Spark plumbing (the part that carries over to any real codec)
+  // ------------------------------------------------------------------
+
+  /** media(media_ref, bytes) -> typed metadata. */
+  def metadata(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select(col("media_ref"), col("bytes")).as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (r, b) => metaOf(r, b) })
+  }
+
+  /** Image feature extraction (decode + 16-bin intensity histogram). */
+  def imageFeatureTable(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.select(col("media_ref"), col("bytes")).as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (r, b) =>
+        if (kindOf(b) == "image") Some(imageFeatures(r, b)) else None
+      })
+  }
+
+  /** Resize pass: images over the cap are downscaled, others pass
+    * through (the optimize_image_for_mobile shape, `app.py:323-362`).
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame, cap: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_ref"), col("bytes")).as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (r, b) =>
+        if (kindOf(b) == "image") {
+          val (w, h, px) = SynthRaster.parse(b)
+          val (px2, w2, h2) = ImageOps.resizeCap(px, w, h, cap)
+          (r, SynthRaster.toBytes(w2, h2, px2), w2, h2)
+        } else (r, b, -1, -1)
+      })
+      .toDF("media_ref", "bytes", "width", "height")
+  }
+
+  /** Video frame sampling as a generator: one output row per kept
+    * frame, ready for a per-frame kernel downstream.
+    */
+  def frameSampleTable(spark: SparkSession, videos: DataFrame, stride: Int): Dataset[FrameRow] = {
+    import spark.implicits._
+    videos.select(col("media_ref"), col("bytes")).as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (r, b) =>
+        if (kindOf(b) == "video") sampleFrames(b, stride).map { case (i, fb) => FrameRow(r, i, fb) }
+        else Iterator.empty
+      })
+  }
+}

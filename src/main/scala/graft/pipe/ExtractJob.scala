@@ -34,11 +34,18 @@ final case class OcrRow(content_hash: String, ocr_text: String, ocr_conf: Double
   */
 object ExtractJob {
 
-  /** quality knob (v2, `app2.py:854-863`): low | medium | high. */
+  /** quality knob (v2, `app2.py:854-863`): low | medium | high.
+    * inputPartitions: explicit `repartitionByRange(doc_id)` width at
+    * ingest (0 = 2x default parallelism). The kernel cost per row
+    * dwarfs one shuffle of the input rows, and file-split granularity
+    * must never cap kernel parallelism — the north_rule's explicit
+    * partitioning requirement.
+    */
   final case class Config(
       quality: String = "medium",
       saltBuckets: Int = 8,
-      outputBuckets: Int = 64)
+      outputBuckets: Int = 64,
+      inputPartitions: Int = 0)
 
   def preprocessModeFor(quality: String): String = quality match {
     // `app2.py:1016-1017`: low->fast, high->quality, else balanced...
@@ -57,7 +64,14 @@ object ExtractJob {
                    cfg: Config = Config()): DataFrame = {
     import spark.implicits._
 
+    val nParts =
+      if (cfg.inputPartitions > 0) cfg.inputPartitions
+      else spark.sparkContext.defaultParallelism * 2
+    // hash repartition here (one pass — repartitionByRange would run
+    // the upstream twice for range sampling); the write side range-
+    // partitions by doc_id for output clustering (runResumable).
     val spans = docs
+      .repartition(nParts, $"doc_id")
       .select($"doc_id", explode($"spans").as("s"))
       .select($"doc_id", $"s.kind", $"s.text", $"s.media_ref", $"s.offset")
 
@@ -191,6 +205,9 @@ object ExtractJob {
 
     val out = run(spark, pending.drop("bucket"), media, cfg)
       .withColumn("bucket", bucketCol(cfg.outputBuckets))
+      // north_rule: explicit repartitionByRange on doc_id — clusters
+      // each bucket's files by doc range (ordered output, prunable)
+      .repartitionByRange(cfg.outputBuckets, col("bucket"), col("doc_id"))
 
     out.write
       .partitionBy("bucket")

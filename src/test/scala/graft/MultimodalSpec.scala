@@ -1,0 +1,84 @@
+package graft
+
+import graft.codec.SynthRaster
+import graft.ops.Multimodal
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-mm")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("container sniffing and typed metadata") {
+    val img = SynthRaster.render("an image", 1L)
+    val vid = Multimodal.synthVideo(7, nFrames = 5)
+    val aud = Multimodal.synthAudio(3)
+    assert(Multimodal.kindOf(img) == "image")
+    assert(Multimodal.kindOf(vid) == "video")
+    assert(Multimodal.kindOf(aud) == "audio")
+    val vm = Multimodal.metaOf("v", vid)
+    assert(vm.n_frames == 5 && vm.width > 0 && vm.height > 0)
+    val am = Multimodal.metaOf("a", aud)
+    assert(am.sample_rate == 8000 && am.n_samples > 0)
+    val im = Multimodal.metaOf("i", img)
+    assert(im.kind == "image" && im.n_frames == 1)
+  }
+
+  test("frame sampling keeps every stride-th frame, in order") {
+    val vid = Multimodal.synthVideo(11, nFrames = 7)
+    val kept = Multimodal.sampleFrames(vid, stride = 3)
+    assert(kept.map(_._1) == Vector(0, 3, 6))
+    // each sampled frame is itself a decodable raster
+    kept.foreach { case (_, fb) => SynthRaster.parse(fb) }
+  }
+
+  test("audio features are deterministic and sane") {
+    val a1 = Multimodal.audioFeatures("a", Multimodal.synthAudio(3))
+    val a2 = Multimodal.audioFeatures("a", Multimodal.synthAudio(3))
+    assert(a1 == a2)
+    assert(a1.duration_ms > 0 && a1.rms > 0 && a1.zero_crossings > 0)
+  }
+
+  test("compressed-image decode is an explicit stub, not silent garbage") {
+    val fakeJpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x01)
+    intercept[UnsupportedOperationException](Multimodal.decodeImage(fakeJpeg))
+  }
+
+  test("spark plumbing: metadata / features / frame-sample tables over a binary column") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = (0 until 6).map {
+      case i if i % 3 == 0 => (s"m-$i", SynthRaster.render(s"image $i", i.toLong))
+      case i if i % 3 == 1 => (s"m-$i", Multimodal.synthVideo(i))
+      case i => (s"m-$i", Multimodal.synthAudio(i))
+    }
+    val media = rows.toDF("media_ref", "bytes")
+
+    val meta = Multimodal.metadata(spark, media).collect()
+    assert(meta.length == 6)
+    assert(meta.count(_.kind == "image") == 2)
+    assert(meta.count(_.kind == "video") == 2)
+    assert(meta.count(_.kind == "audio") == 2)
+
+    val feats = Multimodal.imageFeatureTable(spark, media).collect()
+    assert(feats.length == 2)
+    feats.foreach { f =>
+      assert(math.abs(f.histogram.sum - 1.0) < 1e-9)
+      assert(f.mean_intensity > 0 && f.mean_intensity < 255)
+    }
+
+    val frames = Multimodal.frameSampleTable(spark, media, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0))
+
+    val resized = Multimodal.resizeImages(spark, media, cap = 100)
+      .filter(col("width") > 0).collect()
+    assert(resized.forall(r => r.getInt(2) <= 100 && r.getInt(3) <= 100))
+  }
+}

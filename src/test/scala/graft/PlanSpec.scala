@@ -1,0 +1,83 @@
+package graft
+
+import graft.gen.Corpus
+import graft.pipe.ExtractJob
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the "would this survive 100x" checks:
+  * pushdown reaches the parquet scan, dimension joins broadcast, the
+  * relational stages stay in whole-stage codegen, and the kernel join
+  * carries the salt key.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("graft-plan")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push down to the parquet scan") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30"),
+      s"filter not pushed:\n$plan")
+    // pruned read schema: only the two referenced columns
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("star-join dims broadcast (q06)") {
+    val df = SparkEntry.queries("q06_broadcast_star_join")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dims must not sort-merge:\n$plan")
+  }
+
+  test("relational aggregation stays in whole-stage codegen (q01)") {
+    val df = SparkEntry.queries("q01_lineitem_agg")(spark, sfDir)
+    df.collect() // finalize the AQE plan first
+    val plan = planOf(df)
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    assert(plan.contains("*("), s"no codegen spans:\n$plan")
+    assert(plan.contains("AQEShuffleRead coalesced"), s"AQE not coalescing:\n$plan")
+  }
+
+  test("extract pipeline: distinct-content OCR join is salted, spans splice has no extra shuffle") {
+    val docs = Corpus.documents(spark, sfDir).toDF()
+    val media = Corpus.media(spark, sfDir).toDF()
+    val spans = ExtractJob.extractSpans(spark, docs, media, ExtractJob.Config(saltBuckets = 8))
+    val plan = spans.queryExecution.optimizedPlan.toString
+    assert(plan.contains("salt"), s"salt key missing from media join:\n$plan")
+    // text branch must not touch media/bytes at all
+    val textOnly = ExtractJob.extractSpans(spark,
+      docs.select(col("doc_id"),
+        filter(col("spans"), s => s("kind") === "text").as("spans")), media)
+    assert(textOnly.filter(col("kind") === "media").count() == 0)
+  }
+
+  test("OCR runs once per distinct content hash (cache semantics, C5/P1)") {
+    // count kernel invocations via an accumulator-free proxy: the
+    // distinct-content side row count equals distinct sha2 of media
+    val media = Corpus.media(spark, sfDir).toDF()
+    val distinctContents = media.select(sha2(col("bytes"), 256)).distinct().count()
+    val refs = media.count()
+    assert(distinctContents == refs) // generator: distinct text per ref
+    val docs = Corpus.documents(spark, sfDir).toDF()
+    val usedRefs = docs.select(explode(col("spans")).as("s"))
+      .filter(col("s.kind") === "media").select(col("s.media_ref")).distinct().count()
+    assert(usedRefs <= distinctContents)
+  }
+}
