@@ -274,6 +274,21 @@ object SparkEntry {
         .select(col("media_ref"), col("width"), col("height"),
           round(col("mean_intensity"), 2).as("mean_intensity"))
         .orderBy(col("media_ref"))
+    }),
+
+    "x12_scope_column_summary" -> ((s, dir) => {
+      // T9 column scope: per structure column, texts joined "\n\n" +
+      // kernel summary (app.py:1996-2005)
+      val structures = graft.pipe.StructureJob.run(s, Corpus.media(s, dir).toDF())
+      graft.pipe.Scope.columnScope(structures)
+        .orderBy(col("media_ref"), col("column_id"))
+    }),
+
+    "x13_scope_page_summary" -> ((s, dir) => {
+      val docs = Corpus.documents(s, dir).toDF()
+      val media = Corpus.media(s, dir).toDF()
+      graft.pipe.Scope.pageScope(ExtractJob.run(s, docs, media))
+        .orderBy(col("doc_id"), col("page"))
     })
   )
 

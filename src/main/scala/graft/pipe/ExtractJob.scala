@@ -45,7 +45,8 @@ object ExtractJob {
       quality: String = "medium",
       saltBuckets: Int = 8,
       outputBuckets: Int = 64,
-      inputPartitions: Int = 0)
+      inputPartitions: Int = 0,
+      maxMediaBytes: Long = 16L * 1024 * 1024)
 
   def preprocessModeFor(quality: String): String = quality match {
     // `app2.py:1016-1017`: low->fast, high->quality, else balanced...
@@ -74,6 +75,9 @@ object ExtractJob {
       .repartition(nParts, $"doc_id")
       .select($"doc_id", explode($"spans").as("s"))
       .select($"doc_id", $"s.kind", $"s.text", $"s.media_ref", $"s.offset")
+      // S2 ingest guard: kind allowlist (the extension allowlist analog,
+      // app.py:317-320); unknown kinds are dropped, not failed
+      .filter($"kind".isin("text", "media"))
 
     // --- text branch: never touches the kernel (S7 direct-text bypass,
     // app.py:636-649) — cleanup + 90/70 confidence rule, all codegen.
@@ -91,9 +95,12 @@ object ExtractJob {
       .filter($"kind" === "media")
       .select($"doc_id", $"kind", $"media_ref", $"offset")
 
-    // only media actually referenced is read/decoded (semi-join prune)
+    // only media actually referenced is read/decoded (semi-join prune);
+    // S3 size cap mirrors MAX_CONTENT_LENGTH = 16 MB (app.py:230)
     val neededRefs = mediaSpans.select($"media_ref").distinct()
-    val neededMedia = media.join(neededRefs, Seq("media_ref"), "left_semi")
+    val neededMedia = media
+      .filter(length($"bytes") <= cfg.maxMediaBytes)
+      .join(neededRefs, Seq("media_ref"), "left_semi")
       .withColumn("content_hash", sha2($"bytes", 256))
 
     // ref -> content hash (distinct refs; tiny relative to span rows)
@@ -121,13 +128,19 @@ object ExtractJob {
     val s = math.max(1, cfg.saltBuckets)
     val saltedOcr = ocrResults
       .withColumn("salt", explode(lit((0 until s).toArray)))
+    // LEFT joins: a dangling or size-capped media_ref must surface as
+    // an empty span with confidence 0 (the reference's OCR-failure
+    // shape, app.py:602), never silently drop the span from the
+    // sequence — the north rule checks order completeness.
     val mediaWithHash = mediaSpans
-      .join(refToHash, Seq("media_ref"))
+      .join(refToHash, Seq("media_ref"), "left")
       .withColumn("salt", pmod(xxhash64($"doc_id", $"offset"), lit(s)).cast("int"))
     val mediaOut = mediaWithHash
-      .join(saltedOcr, Seq("content_hash", "salt"))
-      .select($"doc_id", $"kind", $"ocr_text".as("text"), $"media_ref", $"offset",
-        $"ocr_conf".as("confidence"))
+      .join(saltedOcr, Seq("content_hash", "salt"), "left")
+      .select($"doc_id", $"kind",
+        coalesce($"ocr_text", lit("")).as("text"),
+        $"media_ref", $"offset",
+        coalesce($"ocr_conf", lit(0.0)).as("confidence"))
 
     textOut.unionByName(mediaOut)
   }
