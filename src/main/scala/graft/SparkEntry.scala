@@ -195,6 +195,38 @@ object SparkEntry {
 
     "q17_summarize_sql" -> ((s, dir) => summarizeSqlSpark(s, dir)),
 
+    "q18_set_ops" -> ((s, dir) => {
+      // union / intersect / except over customer-key sets derived from
+      // two order subsets (set-op coverage, SURVEY.md §2.8)
+      val o = s.read.parquet(p(dir, "orders"))
+      val hi = o.filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val u = hi.union(urgent).distinct().withColumn("op", lit("union"))
+      val i = hi.intersect(urgent).withColumn("op", lit("intersect"))
+      val e = hi.except(urgent).withColumn("op", lit("except"))
+      u.unionByName(i).unionByName(e)
+        .groupBy(col("op")).agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("key_sum"))
+        .orderBy(col("op"))
+    }),
+
+    "q19_rollup" -> ((s, dir) => {
+      s.read.parquet(p(dir, "lineitem"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("cnt"), col("qty"))
+        .orderBy(col("flag"), col("status"))
+    }),
+
+    "q20_date_parts" -> ((s, dir) => {
+      s.read.parquet(p(dir, "orders"))
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+        .orderBy(col("y"), col("m"))
+    }),
+
     // ---------------- pipeline / kernel (rows-only checks) ----------------
     "x01_extract_spans" -> ((s, dir) => {
       val docs = Corpus.documents(s, dir).toDF()
@@ -504,6 +536,32 @@ object SparkEntry {
         |  (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
         |WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q18_set_ops" ->
+      """WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
+        |u AS (SELECT o_custkey FROM hi UNION SELECT o_custkey FROM orders
+        |      WHERE o_orderpriority = '1-URGENT'),
+        |i AS (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM orders
+        |      WHERE o_orderpriority = '1-URGENT'),
+        |e AS (SELECT o_custkey FROM hi EXCEPT SELECT o_custkey FROM orders
+        |      WHERE o_orderpriority = '1-URGENT')
+        |SELECT op, count(*) AS n, sum(o_custkey)::BIGINT AS key_sum FROM (
+        |  SELECT 'union' AS op, o_custkey FROM u
+        |  UNION ALL SELECT 'intersect', o_custkey FROM i
+        |  UNION ALL SELECT 'except', o_custkey FROM e) t
+        |GROUP BY op ORDER BY op""".stripMargin,
+
+    "q19_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS cnt, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+
+    "q20_date_parts" ->
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q17_summarize_sql" ->
       s"""WITH sents AS (

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: 64-bit polynomial rolling fingerprint of
+  * a string (Rabin-Karp family, base 1000003, wrap-around arithmetic).
+  *
+  * This is the codegen upgrade path SURVEY.md §7.4 names: the same
+  * fingerprint is expressible with `aggregate(split(...))` column
+  * functions ([[graft.ops.TextAnalysis.rollingFingerprint]] keeps that
+  * form, modulo-reduced, as the SQL-oracle-friendly twin), but a hot
+  * inner loop over every character of every document deserves a single
+  * generated loop over the UTF8String bytes rather than a per-character
+  * array of single-char strings. `doGenCode` emits exactly that, so
+  * the expression participates in whole-stage codegen.
+  *
+  * Registered for SQL as `graft_fingerprint64` (see [[GraftFunctions]]).
+  */
+case class Fingerprint64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType ||
+        child.dataType == org.apache.spark.sql.types.NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_fingerprint64 expects STRING, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 1000003L + (bytes(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("fpBytes")
+      val i = ctx.freshName("fpI")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long ${ev.value}_acc = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  ${ev.value}_acc = ${ev.value}_acc * 1000003L + ($bytes[$i] & 0xffL);
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+    copy(child = newChild)
+}
+
+/** Registration + Column helpers for the native functions. */
+object GraftFunctions {
+
+  def fingerprint64(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      Fingerprint64(org.apache.spark.sql.GraftBridge.toExpression(c)))
+
+  /** Register SQL names on a session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fingerprint64", exprs => Fingerprint64(exprs.head), "scala_udf")
+  }
+}

@@ -42,8 +42,13 @@ object StreamingJobs {
   final case class SessionAgg(user_id: Long, n_events: Long, total_value: Double,
                               first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
 
-  /** Session state: accumulate per-user activity, emit the session on
-    * a 30-minute inactivity timeout — the SESSION_TIMEOUT analog.
+  final val SESSION_GAP_MS: Long = 30L * 60 * 1000 // SESSION_TIMEOUT, app.py:238
+
+  /** Session state: accumulate per-user activity, close a session after
+    * 30 minutes of inactivity — the SESSION_TIMEOUT analog. Gaps are
+    * split both ACROSS batches (event-time timeout) and WITHIN a batch
+    * (sort + gap scan), so session boundaries don't depend on how the
+    * source happens to micro-batch.
     */
   def sessionize(events: org.apache.spark.sql.Dataset[Event]): org.apache.spark.sql.Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
@@ -58,20 +63,24 @@ object StreamingJobs {
             state.remove()
             Iterator.single(out)
           } else {
-            val evs = it.toSeq
+            val evs = it.toSeq.sortBy(_.ts.getTime)
             if (evs.isEmpty) Iterator.empty
             else {
-              val prev = state.getOption
-              val first = prev.map(_.first_ts).getOrElse(evs.map(_.ts).min(Ordering.by((t: java.sql.Timestamp) => t.getTime)))
-              val last = (prev.map(_.last_ts).toSeq ++ evs.map(_.ts))
-                .max(Ordering.by((t: java.sql.Timestamp) => t.getTime))
-              val agg = SessionAgg(uid,
-                prev.map(_.n_events).getOrElse(0L) + evs.size,
-                prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
-                first, last)
-              state.update(agg)
-              state.setTimeoutTimestamp(last.getTime + 30 * 60 * 1000)
-              Iterator.empty
+              val closed = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+              var cur = state.getOption.orNull
+              evs.foreach { e =>
+                if (cur == null)
+                  cur = SessionAgg(uid, 1L, e.value, e.ts, e.ts)
+                else if (e.ts.getTime - cur.last_ts.getTime > SESSION_GAP_MS) {
+                  closed += cur
+                  cur = SessionAgg(uid, 1L, e.value, e.ts, e.ts)
+                } else
+                  cur = cur.copy(n_events = cur.n_events + 1,
+                    total_value = cur.total_value + e.value, last_ts = e.ts)
+              }
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.last_ts.getTime + SESSION_GAP_MS)
+              closed.iterator
             }
           }
       }

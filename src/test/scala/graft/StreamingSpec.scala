@@ -1,0 +1,58 @@
+package graft
+
+import graft.streaming.StreamingJobs
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-stream")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("sessionization: 30-min inactivity splits sessions; totals preserved") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000)
+    // user 1: two bursts separated by > 30 min -> 2 sessions
+    // user 2: one burst -> 1 session
+    val events = Seq(
+      StreamingJobs.Event(1L, ts(0), "click", 1.0),
+      StreamingJobs.Event(1L, ts(5), "click", 2.0),
+      StreamingJobs.Event(1L, ts(60), "click", 4.0),
+      StreamingJobs.Event(1L, ts(62), "buy", 8.0),
+      StreamingJobs.Event(2L, ts(10), "click", 16.0),
+      // watermark driver: a late-enough event to close everything
+      StreamingJobs.Event(99L, ts(600), "tick", 0.0))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess")
+    events.toDS().repartition(1).write.mode("overwrite").parquet(s"$dir/in")
+
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamingJobs.Event]].schema)
+      .parquet(s"$dir/in")
+      .as[StreamingJobs.Event]
+    val q = StreamingJobs.sessionize(src)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.sql("SELECT * FROM sessions ORDER BY user_id, first_ts").collect()
+    // user 99's session never times out (no later watermark) — expect
+    // user 1 x2 and user 2 x1 emitted
+    val u1 = out.filter(_.getLong(0) == 1L)
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u1.length == 2, s"user1 sessions: ${u1.length}")
+    assert(u1(0).getLong(1) == 2L && u1(0).getDouble(2) == 3.0) // burst 1: 2 events, 1+2
+    assert(u1(1).getLong(1) == 2L && u1(1).getDouble(2) == 12.0) // burst 2: 4+8
+    assert(u2.length == 1 && u2(0).getLong(1) == 1L && u2(0).getDouble(2) == 16.0)
+  }
+}
