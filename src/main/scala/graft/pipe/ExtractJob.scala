@@ -49,13 +49,15 @@ object ExtractJob {
       maxMediaBytes: Long = 16L * 1024 * 1024)
 
   def preprocessModeFor(quality: String): String = quality match {
-    // `app2.py:1016-1017`: low->fast, high->quality, else balanced...
-    // our default quality "medium" uses the v1 default chain (blur3+Otsu)
-    // because adaptive thresholding is fidelity-tested separately.
+    // v2 quality -> preprocess chain (`app2.py:556-558`, `app2.py:1016-1017`):
+    // low->fast, high->quality, medium (the default) -> balanced
+    // (blur3 + adaptive(11,2)). "v1" selects the v1 default chain
+    // (blur3 + Otsu, `app.py:545-548`) for reference-v1 behavior.
     case "low" => "fast"
     case "high" => "quality"
-    case "medium" => "default"
-    case _ => "default"
+    case "medium" => "balanced"
+    case "v1" => "default"
+    case _ => "balanced"
   }
 
   /** Per-span extraction: returns
@@ -71,13 +73,27 @@ object ExtractJob {
     // hash repartition here (one pass — repartitionByRange would run
     // the upstream twice for range sampling); the write side range-
     // partitions by doc_id for output clustering (runResumable).
-    val spans = docs
+    // explode_outer: a doc with an empty/null spans array still emits a
+    // (null-kind) row — "one output row per input document" must hold
+    // on adversarial input, not just the fixture corpus.
+    val exploded = docs
       .repartition(nParts, $"doc_id")
-      .select($"doc_id", explode($"spans").as("s"))
+      .select($"doc_id", explode_outer($"spans").as("s"))
       .select($"doc_id", $"s.kind", $"s.text", $"s.media_ref", $"s.offset")
-      // S2 ingest guard: kind allowlist (the extension allowlist analog,
-      // app.py:317-320); unknown kinds are dropped, not failed
-      .filter($"kind".isin("text", "media"))
+    // S2 ingest guard: kind allowlist (the extension allowlist analog,
+    // app.py:317-320); unknown kinds are dropped, not failed
+    val spans = exploded.filter($"kind".isin("text", "media"))
+    // doc-preservation sentinels: every span that the allowlist drops
+    // (unknown kind) or that never existed (empty spans array) becomes a
+    // null-kind sentinel row. assembleDocs filters sentinels out of the
+    // span sequence but keeps the doc_id in the groupBy, so a document
+    // whose spans all vanish still yields an (empty-text, confidence-0)
+    // output row. No extra scan or join — the rows ride the same shuffle.
+    val sentinels = exploded
+      .filter($"kind".isNull || !$"kind".isin("text", "media"))
+      .select($"doc_id", lit(null).cast("string").as("kind"),
+        lit("").as("text"), lit("").as("media_ref"),
+        lit(null).cast("int").as("offset"), lit(0.0).as("confidence"))
 
     // --- text branch: never touches the kernel (S7 direct-text bypass,
     // app.py:636-649) — cleanup + 90/70 confidence rule, all codegen.
@@ -142,7 +158,7 @@ object ExtractJob {
         $"media_ref", $"offset",
         coalesce($"ocr_conf", lit(0.0)).as("confidence"))
 
-    textOut.unionByName(mediaOut)
+    textOut.unionByName(mediaOut).unionByName(sentinels)
   }
 
   /** Assemble per-document output: spans spliced back in offset order
@@ -159,7 +175,10 @@ object ExtractJob {
     extractedSpans
       .groupBy($"doc_id")
       .agg(sort_array(collect_list(struct(
-        $"offset", $"kind", $"text", $"media_ref", $"confidence"))).as("sp"))
+        $"offset", $"kind", $"text", $"media_ref", $"confidence"))).as("sp0"))
+      // drop doc-preservation sentinels (null kind) from the sequence;
+      // the doc_id itself survives the groupBy regardless
+      .withColumn("sp", filter($"sp0", x => x("kind").isNotNull))
       .select(
         $"doc_id",
         // back to input_hint field order, offset kept per span
@@ -195,17 +214,46 @@ object ExtractJob {
   /** Deterministic bucket of a document — the commit unit. */
   def bucketCol(n: Int) = pmod(xxhash64(col("doc_id")), lit(n.toLong)).cast("int")
 
+  /** What a resumable run did — doc/span/media totals over the buckets
+    * committed BY THIS RUN (zero when everything was already committed).
+    */
+  final case class RunSummary(docCount: Long, spanCount: Long, mediaCount: Long,
+                              newBuckets: Int, inputSnapshotId: String)
+
+  /** Lineage id of the input table: the Iceberg snapshot-id when the
+    * plan exposes one; otherwise (parquet fallback / generated input)
+    * the sha-256 of the sorted input file listing, which changes iff
+    * the input files change. "inline" marks a purely in-memory input.
+    */
+  def inputSnapshotId(docs: DataFrame): String = {
+    val files = try docs.inputFiles.sorted catch { case _: Throwable => Array.empty[String] }
+    if (files.isEmpty) "inline"
+    else {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      files.foreach(f => d.update(f.getBytes("UTF-8")))
+      "files:" + d.digest().map(b => f"$b%02x").mkString
+    }
+  }
+
   /** Run the job writing per-bucket, committing a manifest row per
     * bucket. On restart only buckets absent from the manifest are
     * recomputed; dynamic partition overwrite makes a retried bucket
     * idempotent (half-written data from a killed attempt is replaced,
     * never duplicated).
+    *
+    * Manifest metrics (doc/span/media counts + confidence histogram per
+    * bucket) are collected by [[BucketManifestAgg]] via `observe` ON the
+    * write itself — one pass total; the output path is never re-read
+    * (at 10^12 docs a post-write scan of the output would double the
+    * job's I/O). Each manifest row carries the input snapshot id, so a
+    * resumed run can detect that it is resuming against different input.
     */
   def runResumable(spark: SparkSession, docs: DataFrame, media: DataFrame,
-                   outDir: String, cfg: Config = Config()): Unit = {
+                   outDir: String, cfg: Config = Config()): RunSummary = {
     import spark.implicits._
     val manifestPath = s"$outDir/manifest"
     val dataPath = s"$outDir/extracted"
+    val snapshotId = inputSnapshotId(docs)
 
     val committed: Set[Int] =
       try spark.read.parquet(manifestPath).select($"bucket").as[Int].collect().toSet
@@ -214,13 +262,18 @@ object ExtractJob {
     val withBucket = docs.withColumn("bucket", bucketCol(cfg.outputBuckets))
     val pending = if (committed.isEmpty) withBucket
       else withBucket.filter(!$"bucket".isin(committed.toSeq: _*))
-    if (pending.isEmpty) return
+    if (pending.isEmpty) return RunSummary(0L, 0L, 0L, 0, snapshotId)
 
+    val obs = new org.apache.spark.sql.Observation()
+    val stats = udaf(new BucketManifestAgg(cfg.outputBuckets))
     val out = run(spark, pending.drop("bucket"), media, cfg)
       .withColumn("bucket", bucketCol(cfg.outputBuckets))
+      .withColumn("span_count", size($"spans"))
       // north_rule: explicit repartitionByRange on doc_id — clusters
       // each bucket's files by doc range (ordered output, prunable)
       .repartitionByRange(cfg.outputBuckets, col("bucket"), col("doc_id"))
+      .observe(obs, stats($"bucket", $"span_count", $"media_count", $"confidence")
+        .as("bucket_stats"))
 
     out.write
       .partitionBy("bucket")
@@ -230,16 +283,16 @@ object ExtractJob {
 
     // manifest commit AFTER the data write: a kill between the two just
     // re-runs those buckets (idempotent via dynamic overwrite).
-    val histo = udaf(ConfHistogram)
-    val manifest = spark.read.parquet(dataPath)
-      .filter(!$"bucket".isin(committed.toSeq: _*))
-      .groupBy($"bucket")
-      .agg(
-        count(lit(1)).as("doc_count"),
-        sum(size($"spans")).as("span_count"),
-        sum($"media_count").as("media_count"),
-        histo($"confidence").as("conf_histogram"),
-        current_timestamp().as("committed_at"))
-    manifest.write.mode("append").parquet(manifestPath)
+    val rows = obs.get("bucket_stats").asInstanceOf[Seq[org.apache.spark.sql.Row]]
+      .map(r => BucketStat(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Long](4)))
+    spark.createDataset(rows).toDF()
+      .withColumn("input_snapshot_id", lit(snapshotId))
+      .withColumn("committed_at", current_timestamp())
+      .coalesce(1)
+      .write.mode("append").parquet(manifestPath)
+
+    RunSummary(rows.map(_.doc_count).sum, rows.map(_.span_count).sum,
+      rows.map(_.media_count).sum, rows.size, snapshotId)
   }
 }

@@ -79,7 +79,14 @@ object StreamingJobs {
                     total_value = cur.total_value + e.value, last_ts = e.ts)
               }
               state.update(cur)
-              state.setTimeoutTimestamp(cur.last_ts.getTime + SESSION_GAP_MS)
+              // clamp to strictly after the current event-time watermark:
+              // a micro-batch delivering only late events for a group
+              // (flatMapGroupsWithState does not pre-filter late rows)
+              // would otherwise compute a timeout below the watermark and
+              // Spark fails the query with IllegalArgumentException.
+              state.setTimeoutTimestamp(math.max(
+                cur.last_ts.getTime + SESSION_GAP_MS,
+                state.getCurrentWatermarkMs() + 1))
               closed.iterator
             }
           }

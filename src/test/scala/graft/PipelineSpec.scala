@@ -123,6 +123,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(mrow.getLong(mrow.fieldIndex("span_count")) > 0)
     assert(mrow.getSeq[Long](mrow.fieldIndex("conf_histogram")).sum ==
       mrow.getLong(mrow.fieldIndex("doc_count")))
+    assert(mrow.getString(mrow.fieldIndex("input_snapshot_id")).startsWith("files:"),
+      "manifest rows carry the input snapshot lineage id")
+
+    // manifest metrics (observe-collected) agree with the written data
+    val byBucket = spark.read.parquet(s"$outDir/extracted")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("d"), sum(size(col("spans"))).as("s"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    manifest2.select("bucket", "doc_count", "span_count").collect().foreach { r =>
+      assert(byBucket(r.getInt(0)) == ((r.getLong(1), r.getLong(2))),
+        s"bucket ${r.getInt(0)} manifest metrics match written data")
+    }
+  }
+
+  test("resumable run never re-reads the output path (single-pass manifest via observe)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val outDir = java.nio.file.Files.createTempDirectory("graft-onescan").toString
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             ns: Long): Unit = plans.add(qe.executedPlan)
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = plans.add(qe.executedPlan)
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val docs = Corpus.documents(spark, sfDir).toDF()
+      val media = Corpus.media(spark, sfDir).toDF()
+      val summary = ExtractJob.runResumable(spark, docs, media, outDir,
+        ExtractJob.Config(outputBuckets = 4))
+      assert(summary.docCount > 0 && summary.spanCount > summary.docCount)
+
+      // the execution-listener bus is async: wait until the write showed up
+      def allScans(p: SparkPlan): Seq[FileSourceScanExec] =
+        p.collect { case f: FileSourceScanExec => Seq(f)
+                    case a: AdaptiveSparkPlanExec => allScans(a.executedPlan) }.flatten
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      def sawWrite = plans.toArray.exists(_.toString.contains("InsertIntoHadoopFsRelation"))
+      while (!sawWrite && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(sawWrite, "write execution observed")
+      Thread.sleep(300) // settle any trailing events
+      val offenders = plans.toArray(Array.empty[SparkPlan]).flatMap(allScans)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains(s"$outDir/extracted")))
+      assert(offenders.isEmpty,
+        s"no execution may scan the just-written output path; found: ${offenders.mkString(";")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("doc preservation: empty spans / all-unknown kinds still yield one output row each") {
+    import spark.implicits._
+    import graft.gen.{InDoc, InSpan, MediaRow}
+    val docs = Seq(
+      InDoc("d-empty", Seq.empty),
+      InDoc("d-unknown", Seq(InSpan("blob", "xx", "", 0), InSpan("blob2", "yy", "", 1))),
+      InDoc("d-mixed", Seq(InSpan("text", "hello  world", "", 0), InSpan("blob", "", "", 1)))
+    ).toDS().toDF()
+    val media = Seq.empty[MediaRow].toDS().toDF()
+    val out = ExtractJob.run(spark, docs, media)
+      .select(col("doc_id"), size(col("spans")).as("n"), col("text"), col("confidence"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getString(2), r.getDouble(3)))).toMap
+    assert(out.size == 3, "one output row per input document, even with no surviving spans")
+    assert(out("d-empty") == ((0, "", 0.0)))
+    assert(out("d-unknown") == ((0, "", 0.0)))
+    assert(out("d-mixed") == ((1, "hello world", 90.0)) ||
+      out("d-mixed") == ((1, "hello world", 70.0)))
   }
 
   test("corpus generation is deterministic and partitioning-independent") {

@@ -70,9 +70,14 @@ class ScopeSpec extends AnyFunSuite {
       Seq(("m-big", graft.codec.SynthRaster.render("big page", 1L)))
         .toDF("media_ref", "bytes")
     }
-    val out = ExtractJob.extractSpans(spark, docs, media,
+    val all = ExtractJob.extractSpans(spark, docs, media,
       ExtractJob.Config(maxMediaBytes = 10)) // cap below any raster
       .orderBy("offset").collect()
+    // the unknown kind is dropped from the span sequence but leaves a
+    // null-kind doc-preservation sentinel (filtered out by assembleDocs)
+    val sentinels = all.filter(_.isNullAt(1))
+    assert(sentinels.length == 1 && sentinels.forall(_.getString(2) == ""))
+    val out = all.filterNot(_.isNullAt(1))
     assert(out.map(_.getInt(4)).toSeq == Seq(0, 2, 3)) // 'weird' dropped
     val mediaRows = out.filter(_.getString(1) == "media")
     mediaRows.foreach { r =>
