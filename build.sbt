@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output must reach stdout RAW: sbt's default LoggedOutput
+// prefixes every line with [info]/[error], which made the driver unable
+// to parse Bench's JSON metric line in round 1 (BENCH_r01.json
+// "parsed": null). StdoutOutput inherits this JVM's streams instead.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,15 +1,31 @@
 package graft
 
 import graft.gen.Corpus
-import graft.pipe.ExtractJob
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark entry. Measures the headline metric — end-to-end
-  * extraction throughput (docs/sec) — at two parallelism levels on the
-  * same input (local[N] and local[4N]; the sandbox stand-in for N vs 4N
-  * executors per the driver's instructions) and reports the scaling
-  * efficiency, plus per-query wall times for the SparkEntry queries at
-  * the 4N level. Prints ONE JSON line.
+/** Benchmark entry. Headline: end-to-end throughput of the
+  * manifest-committed extraction pipeline (`ExtractJob.runResumable`,
+  * the north_rule's committed pipeline) at two parallelism levels on
+  * the same parquet input — local[N] vs local[4N], the sandbox
+  * stand-in for N vs 4N executors — plus the scaling efficiency
+  * between them and per-query wall times for every SparkEntry query.
+  *
+  * Measurement protocol (see BENCH/BASELINE.md for the measured
+  * rationale):
+  *  - each level is a persistent child JVM ("server") that paid JVM
+  *    start + warmup ONCE; the parent interleaves `run` commands
+  *    N, 4N, N, 4N, ... so both levels sample the same host-load
+  *    windows (this box shows minute-scale co-tenant load bursts);
+  *  - scaling efficiency is computed PER PAIR (one coherent window)
+  *    and the headline is the MEDIAN pair — never best-of-levels
+  *    picked independently;
+  *  - the 1-minute load average and the /proc/stat steal share are
+  *    recorded around every run and emitted alongside, so a loaded
+  *    window is visible in the data rather than argued after the fact.
+  *
+  * Prints ONE JSON line to stdout (unprefixed — build.sbt sets
+  * `outputStrategy := StdoutOutput` for forked runs) and writes the
+  * same JSON to BENCH/last_run.json.
   */
 object Bench {
 
@@ -26,10 +42,11 @@ object Bench {
     .getOrCreate()
 
   /** Materialize the benchmark corpus (replicated `repl`x for enough
-    * work to measure scaling; distinct doc_ids per replica, shared
-    * media pool — realistic dedup pressure) as parquet, once. The
-    * measured job then has the production shape: parquet in,
-    * extraction, count — generation cost excluded.
+    * work to measure scaling; distinct doc_ids per replica, distinct
+    * media bytes per replica namespace — realistic dedup pressure) as
+    * parquet, once. The measured job then has the production shape:
+    * parquet in, extraction, committed parquet out — generation cost
+    * excluded.
     */
   private def prepare(spark: SparkSession, sfDir: String, repl: Int): (String, String) = {
     import org.apache.spark.sql.functions._
@@ -40,13 +57,6 @@ object Bench {
     val mediaPath = s"$base/media"
     if (!new java.io.File(s"$base/_READY").exists()) {
       val d = Corpus.documents(spark, sfDir).toDF()
-      // each replica gets its own media namespace with distinct bytes
-      // (different noise seed per ref): the OCR kernel decodes every
-      // replica's media — the measured job is kernel-bound, matching
-      // the production profile where OCR dominates, instead of being a
-      // pure Spark-overhead microbenchmark. Replication is one pass:
-      // explode a replica-id array (generating the base docs 32 times
-      // over would pay the corpus-gen map per replica).
       d.select(col("doc_id"), col("spans"),
           explode(sequence(lit(0), lit(repl - 1))).as("r"))
         .select(
@@ -74,14 +84,93 @@ object Bench {
     (docsPath, mediaPath)
   }
 
-  /** One full extraction run from parquet. Returns (docs, seconds). */
-  private def runExtract(spark: SparkSession, docsPath: String, mediaPath: String): (Long, Double) = {
-    val docs = spark.read.parquet(docsPath)
-    val media = spark.read.parquet(mediaPath)
-    val t0 = System.nanoTime()
-    val n = ExtractJob.run(spark, docs, media)
-      .select("doc_id").count()
-    (n, (System.nanoTime() - t0) / 1e9)
+  // ---- host-load sampling -------------------------------------------------
+
+  private def loadAvg1m(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** (stealJiffies, totalJiffies) from /proc/stat's aggregate cpu line. */
+  private def cpuStat(): (Long, Long) =
+    try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+      (if (f.length > 7) f(7) else 0L, f.sum)
+    } catch { case _: Throwable => (0L, 1L) }
+
+  // ---- level servers ------------------------------------------------------
+
+  /** A persistent BenchOne child JVM at `cores`. Child heap is modest
+    * (two servers + this JVM must coexist); stderr is inherited so
+    * Spark noise never blocks the stdout protocol pipe.
+    */
+  private final class LevelServer(cores: Int, docsPath: String, mediaPath: String) {
+    private val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    private val childMem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "12g")
+    private val jvmArgs = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+        .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
+        .toSeq ++ Seq(s"-Xmx$childMem", s"-Xms$childMem",
+        // GC capacity must scale WITH the level (a 4N cluster has 4N
+        // executors' GC threads): the JVM default is ~23 GC threads on
+        // this 32-hw-thread box regardless of local[cores], which adds
+        // a constant GC wall-time term to both levels and structurally
+        // depresses measured scaling efficiency (observed busyN > 2.0
+        // on a 2-core level).
+        s"-XX:ParallelGCThreads=${math.max(2, cores)}")
+    }
+    private val cmd = new java.util.ArrayList[String]()
+    cmd.add(javaBin)
+    jvmArgs.foreach(cmd.add)
+    cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+    cmd.add("graft.BenchOne")
+    cmd.add(cores.toString); cmd.add(docsPath); cmd.add(mediaPath)
+    private val pb = new ProcessBuilder(cmd)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    private val proc = pb.start()
+    private val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    private val in = new java.io.PrintWriter(proc.getOutputStream, true)
+
+    /** Block until the server finished its warmup. */
+    def awaitReady(): Unit = {
+      var l = out.readLine()
+      while (l != null && !l.contains("[benchone] ready")) l = out.readLine()
+      if (l == null) throw new RuntimeException(s"benchone($cores) died before ready")
+    }
+
+    private val re = """\[benchone\] cores=\d+ docs=(\d+) sec=([0-9.]+) cpu=([0-9.]+)""".r
+
+    /** One measured run; returns (docs, wallSeconds, cpuSeconds). */
+    def run(): (Long, Double, Double) = {
+      in.println("run")
+      var l = out.readLine()
+      while (l != null && re.findFirstMatchIn(l).isEmpty) l = out.readLine()
+      if (l == null) throw new RuntimeException(s"benchone($cores) died mid-run")
+      val m = re.findFirstMatchIn(l).get
+      (m.group(1).toLong, m.group(2).toDouble, m.group(3).toDouble)
+    }
+
+    def quit(): Unit = {
+      try { in.println("quit"); proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS) }
+      finally if (proc.isAlive) proc.destroyForcibly(): Unit
+    }
+  }
+
+  private final case class Pair(secN: Double, sec4: Double, docs: Long,
+                                load: Double, stealPct: Double,
+                                cpuN: Double, cpu4: Double) {
+    /** CPU-time utilization of each level: cpu/(wall*cores). A level
+      * whose tasks were runnable but descheduled by the HOST (invisible
+      * steal — guest jiffies freeze, /proc/stat steal stays 0) shows
+      * busy4 well below busyN in the same pair. */
+    def busyN(cores: Int): Double = cpuN / (secN * cores)
+    def busy4(cores: Int): Double = cpu4 / (sec4 * cores)
+    def eff: Double = secN / (4.0 * sec4)
+    def tp4: Double = docs / sec4
+    def tpN: Double = docs / secN
   }
 
   def main(args: Array[String]): Unit = {
@@ -96,11 +185,11 @@ object Bench {
     // emulates adding executors.
     val smallCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
     val bigCores = smallCores * 4
-    // 12 replicas = ~60k docs / 12k distinct pages: enough kernel work
-    // to measure scaling, small enough that prepare + 2 pairs + the
-    // query sweep reliably fit the driver's window even when the host
-    // is under co-tenant load (see BENCH/BASELINE.md).
     val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "12").toInt
+    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "5").toInt
+    // stop starting new pairs past this point so the query sweep always
+    // fits the driver's window even in a loaded host window
+    val pairBudgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "170").toInt
 
     // corpus prep in this JVM (children only read the parquet); the
     // render-heavy prepare scales in raw threads, use 16
@@ -108,70 +197,60 @@ object Bench {
     prep.sparkContext.setLogLevel("WARN")
     val (docsPath, mediaPath) = prepare(prep, sfDir, repl)
     prep.stop()
-
-    // each level runs in an IDENTICAL fresh child JVM (same flags as
-    // this one) so JIT/warmup state cannot favor either level; each
-    // child warms up once and reports its best of `rounds` runs.
-    def level(cores: Int): (Long, Double) = {
-      val javaBin = s"${System.getProperty("java.home")}/bin/java"
-      val jvmArgs = java.lang.management.ManagementFactory
-        .getRuntimeMXBean.getInputArguments
-      val cmd = new java.util.ArrayList[String]()
-      cmd.add(javaBin)
-      cmd.addAll(jvmArgs)
-      cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
-      cmd.add("graft.BenchOne")
-      cmd.add(cores.toString); cmd.add(docsPath); cmd.add(mediaPath); cmd.add("1")
-      val pb = new ProcessBuilder(cmd)
-      pb.redirectErrorStream(true)
-      val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes())
-      proc.waitFor()
-      val re = """\[benchone\] cores=\d+ docs=(\d+) sec=([0-9.]+)""".r
-      re.findFirstMatchIn(out) match {
-        case Some(m) => (m.group(1).toLong, m.group(2).toDouble)
-        case None => throw new RuntimeException(s"benchone output missing:\n$out")
-      }
-    }
-
     System.err.println(s"[bench] corpus ready: $docsPath")
-    // interleaved pairs, best per level: this box shows minute-scale
-    // host-load windows (firecracker co-tenancy) that hit the
-    // high-parallelism level harder; the best run per level
-    // approximates the uncontended machine both levels deserve.
+
+    // both servers start (and warm up) concurrently, then runs are
+    // strictly serialized: N, 4N, N, 4N ... — interleaved pairs.
+    val srvN = new LevelServer(smallCores, docsPath, mediaPath)
+    val srv4 = new LevelServer(bigCores, docsPath, mediaPath)
+    srvN.awaitReady(); srv4.awaitReady()
+    System.err.println(s"[bench] servers warm (N=$smallCores, 4N=$bigCores)")
+
     val benchStart = System.nanoTime()
     def elapsedS: Long = (System.nanoTime() - benchStart) / 1000000000L
-    val pairs = (1 to 2).flatMap { i =>
-      // second pair only if the first left room in the driver's window
-      if (i > 1 && elapsedS > 210) None
-      else {
-        val n = level(smallCores)
-        System.err.println(f"[bench] pair $i N=$smallCores: ${n._2}%.1f s")
-        val b = level(bigCores)
-        System.err.println(f"[bench] pair $i 4N=$bigCores: ${b._2}%.1f s")
-        Some((n, b))
-      }
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[Pair]
+    var i = 0
+    while (i < maxPairs && (i < 2 || elapsedS < pairBudgetS)) {
+      val load = loadAvg1m()
+      val (steal0, total0) = cpuStat()
+      val (docsN, secN, cpuN) = srvN.run()
+      val (_, sec4, cpu4) = srv4.run()
+      val (steal1, total1) = cpuStat()
+      val stealPct =
+        if (total1 > total0) 100.0 * (steal1 - steal0) / (total1 - total0) else 0.0
+      pairs += Pair(secN, sec4, docsN, load, stealPct, cpuN, cpu4)
+      System.err.println(f"[bench] pair ${i + 1}: N=$secN%.1fs 4N=$sec4%.1fs " +
+        f"eff=${pairs.last.eff}%.3f load=$load%.2f steal=$stealPct%.1f%% " +
+        f"busyN=${pairs.last.busyN(smallCores)}%.2f busy4=${pairs.last.busy4(bigCores)}%.2f")
+      i += 1
     }
-    val (docsN, secN) = pairs.map(_._1).minBy(_._2)
-    val (docs4, sec4) = pairs.map(_._2).minBy(_._2)
-    val tpN = docsN / secN
-    val tp4 = docs4 / sec4
-    val eff = tp4 / (4.0 * tpN)
+    srvN.quit(); srv4.quit()
 
-    // query timings (informational) at the box's efficient core count
-    // — see BENCH/BASELINE.md for why >8 threads in one JVM degrade
+    // headline = the median pair (one coherent measurement window);
+    // per-pair data is emitted so outliers are visible, not hidden.
+    val byEff = pairs.sortBy(_.eff)
+    val median = byEff(byEff.size / 2) // upper-middle for even n (conservative
+    // enough: with 2 pairs this is the better one, with >=3 a true middle)
+    val eff =
+      if (byEff.size % 2 == 1) median.eff
+      else (byEff(byEff.size / 2 - 1).eff + median.eff) / 2.0
+    val tp4 = pairs.map(_.tp4).sorted.apply(pairs.size / 2)
+    val tpN = pairs.map(_.tpN).sorted.apply(pairs.size / 2)
+    val headline = pairs.maxBy(_.docs)
+
+    // per-query timings at the box's efficient core count — see
+    // BENCH/BASELINE.md for why >8 threads in one JVM degrade. The
+    // headline pipeline queries (x01/x02) run FIRST, never skipped;
+    // queries past the deadline report -2.0 ("skipped"), never block.
+    val noSweep = sys.env.contains("GRAFT_BENCH_NO_SWEEP")
     val s4 = session(math.min(queryCores, 8))
     s4.sparkContext.setLogLevel("WARN")
-
-    // per-query timings (informational). Budgeted: the headline metric
-    // is already measured; the bench must always finish inside the
-    // driver's window, so queries past the budget report -2.0
-    // ("skipped"), never block. Heavy x* duplicates of the headline
-    // pipeline are excluded (x01/x02 re-run the extract job itself).
-    val skipHeavy = Set("x01_extract_spans", "x02_extract_docs", "x04_minhash_lsh")
+    val head = Seq("x01_extract_spans", "x02_extract_docs")
+    val ordered = head ++ SparkEntry.queries.keys.toSeq.filterNot(head.contains).sorted
     val deadline = System.nanoTime() + 150L * 1000000000L
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (skipHeavy(name) || System.nanoTime() > deadline) name -> -2.0
+    val queryTimes = ordered.map { name =>
+      val fn = SparkEntry.queries(name)
+      if (noSweep || (!head.contains(name) && System.nanoTime() > deadline)) name -> -2.0
       else {
         val t0 = System.nanoTime()
         val ok = try { fn(s4, sfDir).count(); true } catch { case _: Throwable => false }
@@ -182,12 +261,24 @@ object Bench {
     s4.stop()
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
-    println(
+    val pairsJson = pairs.map(p =>
+      f"""{"sec_n":${p.secN}%.3f,"sec_4n":${p.sec4}%.3f,"eff":${p.eff}%.3f,""" +
+        f""""load_1m":${p.load}%.2f,"steal_pct":${p.stealPct}%.2f,""" +
+        f""""cpu_busy_n":${p.busyN(smallCores)}%.3f,"cpu_busy_4n":${p.busy4(bigCores)}%.3f}""").mkString("[", ",", "]")
+    val json =
       s"""{"metric":"extract_docs_per_sec","value":${f"$tp4%.2f"},"unit":"docs/sec",""" +
-        s""""docs":$docs4,"seconds_4n":${f"$sec4%.2f"},""" +
+        s""""pipeline":"runResumable","docs":${headline.docs},""" +
         s""""cores_n":$smallCores,"cores_4n":$bigCores,"query_cores":${math.min(queryCores, 8)},""" +
         s""""docs_per_sec_n":${f"$tpN%.2f"},"docs_per_sec_4n":${f"$tp4%.2f"},""" +
-        s""""scaling_efficiency":${f"$eff%.3f"},""" +
-        s""""queries":$qs,"sf":"$sfDir"}""")
+        s""""scaling_efficiency":${f"$eff%.3f"},"pairs":$pairsJson,""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
+    // the driver parses stdout; the file is the belt-and-braces copy
+    try {
+      val f = new java.io.File("BENCH/last_run.json")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    println(json)
+    System.out.flush()
   }
 }

@@ -3,15 +3,35 @@ package graft
 import graft.pipe.ExtractJob
 import org.apache.spark.sql.SparkSession
 
-/** One bench level in one JVM: cores docsPath mediaPath [rounds].
-  * Prints `[benchone] docs=N sec=S` for the best round after warmup.
+/** One bench level as a persistent server JVM.
+  *
+  * `BenchOne <cores> <docsPath> <mediaPath>` starts a local[cores]
+  * session, runs ONE warmup (JIT + glyph-calibration + scan warmup),
+  * prints `[benchone] ready`, then serves commands on stdin:
+  *
+  *   run   -> one full `ExtractJob.runResumable` (the manifest-committed
+  *            pipeline — the north_rule headline) into a fresh output
+  *            dir; prints `[benchone] cores=C docs=D sec=S` (seconds =
+  *            the pipeline only; output-dir cleanup is outside the
+  *            timed region)
+  *   quit  -> stop the session and exit
+  *
+  * The parent interleaves `run`s between an N-core and a 4N-core server
+  * so both levels share each host-load window, and pays JVM start +
+  * warmup once per level instead of once per measurement.
   */
 object BenchOne {
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val fs = f.listFiles()
+    if (fs != null) fs.foreach(deleteRec)
+    f.delete(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val docsPath = args(1)
     val mediaPath = args(2)
-    val rounds = if (args.length > 3) args(3).toInt else 2
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
@@ -21,6 +41,13 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("GRAFT_MAX_PART_BYTES", (1024 * 1024).toString))
+      // the corpus is tiny in BYTES relative to per-row cost; AQE's
+      // 64 MB default advisory size coalesces shuffle stages to ~11
+      // partitions (ragged 1.4-wave packing on 8 cores). 1 MB keeps
+      // stage width at shuffle.partitions — clean waves. A real
+      // cluster at full scale never hits this (partitions >> cores).
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("GRAFT_ADVISORY_BYTES", (1024 * 1024).toString))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -30,22 +57,60 @@ object BenchOne {
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val i = sc.stageInfo
           val dur = for {a <- i.completionTime; b <- i.submissionTime} yield a - b
-          println(f"[stage] id=${i.stageId}%4d tasks=${i.numTasks}%4d " +
-            f"dur=${dur.getOrElse(-1L)}%6d ms  ${i.name.takeWhile(_ != '\n').take(80)}")
+          val m = i.taskMetrics
+          System.err.println(f"[stage] id=${i.stageId}%4d tasks=${i.numTasks}%4d " +
+            f"dur=${dur.getOrElse(-1L)}%6d ms run=${m.executorRunTime}%6d " +
+            f"cpu=${m.executorCpuTime / 1000000}%6d gc=${m.jvmGCTime}%5d " +
+            f"spill=${(m.memoryBytesSpilled + m.diskBytesSpilled) / (1 << 20)}%4d MB " +
+            f"${i.name.takeWhile(_ != '\n').take(60)}")
         }
       })
     }
 
-    def once(): (Long, Double) = {
-      val docs = spark.read.parquet(docsPath)
-      val media = spark.read.parquet(mediaPath)
+    val base = java.nio.file.Files.createTempDirectory(s"graft_benchone_$cores").toFile
+    var runId = 0
+
+    /** Process CPU seconds — the wall-vs-CPU gap exposes host-level
+      * descheduling that this guest's /proc/stat steal field does NOT
+      * report (vCPU jiffies freeze while the host runs someone else).
+      */
+    def cpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+
+    // read once: schema inference (a footer job) is not part of the
+    // per-run pipeline; the DataFrames are immutable plans, re-executed
+    // fresh by every run
+    val docs = spark.read.parquet(docsPath)
+    val media = spark.read.parquet(mediaPath)
+
+    def once(): (Long, Double, Double) = {
+      runId += 1
+      val outDir = new java.io.File(base, s"run_$runId")
+      val c0 = cpuSec()
       val t0 = System.nanoTime()
-      val n = ExtractJob.run(spark, docs, media).select("doc_id").count()
-      (n, (System.nanoTime() - t0) / 1e9)
+      val summary = ExtractJob.runResumable(spark, docs, media, outDir.getAbsolutePath)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val dc = cpuSec() - c0
+      deleteRec(outDir) // outside the timed region
+      (summary.docCount, dt, dc)
     }
+
     once() // warmup
-    val best = (1 to rounds).map(_ => once()).minBy(_._2)
-    println(f"[benchone] cores=$cores docs=${best._1} sec=${best._2}%.3f")
+    println("[benchone] ready"); System.out.flush()
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+    var line = in.readLine()
+    while (line != null && line.trim != "quit") {
+      if (line.trim == "run") {
+        val (docs, sec, cpu) = once()
+        println(f"[benchone] cores=$cores docs=$docs sec=$sec%.3f cpu=$cpu%.3f")
+        System.out.flush()
+      }
+      line = in.readLine()
+    }
+    deleteRec(base)
     spark.stop()
   }
 }

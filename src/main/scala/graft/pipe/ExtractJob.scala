@@ -10,6 +10,9 @@ import org.apache.spark.sql.functions._
   */
 final case class OcrRow(content_hash: String, ocr_text: String, ocr_conf: Double)
 
+/** Per-ref kernel output (one row per needed media_ref). */
+final case class RefOcr(media_ref: String, ocr_text: String, ocr_conf: Double)
+
 /** The extraction pipeline — the reference's per-request dataflow
   * (EP1/EP2, SURVEY.md §3) re-expressed as one declarative Spark job:
   *
@@ -23,23 +26,27 @@ final case class OcrRow(content_hash: String, ocr_text: String, ocr_conf: Double
   *   confidence / summary -> write (bucketed, manifest-committed)
   *
   * Scale design (north_rule): the expensive operator (OCR) runs once
-  * per DISTINCT media content — `sha2(bytes,256)` dedup replaces the
+  * per DISTINCT media content — rows are hash-partitioned by
+  * `sha2(bytes,256)` and the kernel memoizes per hash, replacing the
   * reference's path-keyed OCR cache (`app2.py:329-379`) with strictly
-  * better hit semantics. The join back to span rows is where the Zipf
-  * media skew lives; it is salted (`saltBuckets`) by exploding the
-  * small deduped side S ways so no single (hash) key lands on one
-  * task — with AQE skew-join as the runtime backstop. All relational
-  * stages stay in whole-stage codegen; the only row-at-a-time code is
-  * the kernel itself and the one summarizer call per output document.
+  * better hit semantics at ONE media scan + ONE bytes shuffle. The
+  * join back to span rows is where the Zipf media skew lives; it is
+  * salted (`saltBuckets`) by exploding the small per-ref side S ways
+  * so no single ref lands on one task — with AQE skew-join as the
+  * runtime backstop. All relational stages stay in whole-stage
+  * codegen; the only row-at-a-time code is the kernel itself and the
+  * one summarizer call per output document.
   */
 object ExtractJob {
 
   /** quality knob (v2, `app2.py:854-863`): low | medium | high.
-    * inputPartitions: explicit `repartitionByRange(doc_id)` width at
-    * ingest (0 = 2x default parallelism). The kernel cost per row
-    * dwarfs one shuffle of the input rows, and file-split granularity
-    * must never cap kernel parallelism — the north_rule's explicit
-    * partitioning requirement.
+    * inputPartitions: optional explicit repartition width at ingest
+    * (0 = none — the default: an input-wide shuffle buys nothing the
+    * downstream needs, since the media branch re-shuffles by
+    * content_hash at pinned width and the assembly groupBy shuffles by
+    * doc_id anyway; scan-split granularity governs map-side
+    * parallelism). Set > 0 only for pathological inputs (e.g. one
+    * giant unsplittable file).
     */
   final case class Config(
       quality: String = "medium",
@@ -67,139 +74,157 @@ object ExtractJob {
                    cfg: Config = Config()): DataFrame = {
     import spark.implicits._
 
-    val nParts =
-      if (cfg.inputPartitions > 0) cfg.inputPartitions
-      else spark.sparkContext.defaultParallelism * 2
-    // hash repartition here (one pass — repartitionByRange would run
-    // the upstream twice for range sampling); the write side range-
-    // partitions by doc_id for output clustering (runResumable).
+    val nParts = spark.sparkContext.defaultParallelism * 2
     // explode_outer: a doc with an empty/null spans array still emits a
     // (null-kind) row — "one output row per input document" must hold
     // on adversarial input, not just the fixture corpus.
-    val exploded = docs
-      .repartition(nParts, $"doc_id")
+    val maybeRepartitioned =
+      if (cfg.inputPartitions > 0) docs.repartition(cfg.inputPartitions, $"doc_id")
+      else docs
+    val exploded = maybeRepartitioned
       .select($"doc_id", explode_outer($"spans").as("s"))
       .select($"doc_id", $"s.kind", $"s.text", $"s.media_ref", $"s.offset")
-    // S2 ingest guard: kind allowlist (the extension allowlist analog,
-    // app.py:317-320); unknown kinds are dropped, not failed
-    val spans = exploded.filter($"kind".isin("text", "media"))
-    // doc-preservation sentinels: every span that the allowlist drops
-    // (unknown kind) or that never existed (empty spans array) becomes a
-    // null-kind sentinel row. assembleDocs filters sentinels out of the
-    // span sequence but keeps the doc_id in the groupBy, so a document
-    // whose spans all vanish still yields an (empty-text, confidence-0)
-    // output row. No extra scan or join — the rows ride the same shuffle.
-    val sentinels = exploded
-      .filter($"kind".isNull || !$"kind".isin("text", "media"))
-      .select($"doc_id", lit(null).cast("string").as("kind"),
-        lit("").as("text"), lit("").as("media_ref"),
-        lit(null).cast("int").as("offset"), lit(0.0).as("confidence"))
-
-    // --- text branch: never touches the kernel (S7 direct-text bypass,
-    // app.py:636-649) — cleanup + 90/70 confidence rule, all codegen.
-    val textOut = spans
-      .filter($"kind" === "text")
+    // --- text + sentinel branch (ONE pass over the non-media rows).
+    // S2 ingest guard: the kind allowlist (the extension-allowlist
+    // analog, app.py:317-320) drops unknown kinds from the span
+    // sequence — but every dropped span (and every doc whose spans
+    // array was empty: explode_outer's null row) becomes a null-kind
+    // doc-preservation SENTINEL instead of vanishing. assembleDocs
+    // filters sentinels out of the sequence but keeps the doc_id in
+    // the groupBy, so a document whose spans all vanish still yields
+    // an (empty-text, confidence-0) output row. Text spans take the
+    // direct-text bypass (S7, app.py:636-649) — cleanup + 90/70
+    // confidence rule, all codegen; never the kernel.
+    val isText = $"kind" === "text"
+    val textOut = exploded
+      .filter(!($"kind" <=> "media"))
       .select(
-        $"doc_id", $"kind",
-        trim(regexp_replace($"text", "\\s+", " ")).as("text"),
-        $"media_ref", $"offset",
-        when(length(trim($"text")) > 50, lit(90.0)).otherwise(lit(70.0))
-          .as("confidence"))
+        $"doc_id",
+        when(isText, $"kind").otherwise(lit(null).cast("string")).as("kind"),
+        when(isText, trim(regexp_replace($"text", "\\s+", " ")))
+          .otherwise(lit("")).as("text"),
+        when(isText, $"media_ref").otherwise(lit("")).as("media_ref"),
+        when(isText, $"offset").otherwise(lit(null).cast("int")).as("offset"),
+        when(isText,
+          when(length(trim($"text")) > 50, lit(90.0)).otherwise(lit(70.0)))
+          .otherwise(lit(0.0)).as("confidence"))
 
     // --- media branch
-    val mediaSpans = spans
+    val mediaSpans = exploded
       .filter($"kind" === "media")
       .select($"doc_id", $"kind", $"media_ref", $"offset")
 
     // only media actually referenced is read/decoded (semi-join prune);
-    // S3 size cap mirrors MAX_CONTENT_LENGTH = 16 MB (app.py:230)
+    // S3 size cap mirrors MAX_CONTENT_LENGTH = 16 MB (app.py:230).
+    //
+    // ONE media scan, ONE shuffle of the bytes: rows are hash-
+    // partitioned by content_hash at an explicitly pinned width —
+    // REPARTITION_BY_NUM is exempt from AQE partition coalescing, which
+    // otherwise merges the tiny-by-bytes but decode-heavy kernel input
+    // into a single task (measured: the whole OCR stage as one 1s task
+    // at 8 cores). The kernel memoizes per content_hash inside the
+    // task; the hash partitioning makes that memo GLOBAL decode-once
+    // (every row of a hash lands in exactly one task) — the cache-hit
+    // semantics of the reference's OCR cache (C5/P1, app2.py:329-379)
+    // without a dropDuplicates aggregate (which compiled to a
+    // SortAggregate over the binary column and a second media scan for
+    // the ref->hash side).
     val neededRefs = mediaSpans.select($"media_ref").distinct()
-    val neededMedia = media
-      .filter(length($"bytes") <= cfg.maxMediaBytes)
-      .join(neededRefs, Seq("media_ref"), "left_semi")
-      .withColumn("content_hash", sha2($"bytes", 256))
-
-    // ref -> content hash (distinct refs; tiny relative to span rows)
-    val refToHash = neededMedia.select($"media_ref", $"content_hash")
-
-    // OCR once per distinct content (the cache-hit semantics, C5/P1)
     val mode = preprocessModeFor(cfg.quality)
     val quality = cfg.quality
-    val ocrResults = neededMedia
-      .select($"content_hash", $"bytes")
-      .dropDuplicates("content_hash")
-      .as[(String, Array[Byte])]
+    val refOcr = media
+      .filter(length($"bytes") <= cfg.maxMediaBytes)
+      .join(neededRefs, Seq("media_ref"), "left_semi")
+      .select($"media_ref", $"bytes", sha2($"bytes", 256).as("content_hash"))
+      .repartition(nParts, $"content_hash")
+      .as[(String, Array[Byte], String)]
       .mapPartitions { it =>
         val engine = EnginePool.get(mode) // lazy per-executor engine pool
-        it.map { case (h, bytes) =>
-          val r = engine.decode(bytes, quality)
-          OcrRow(h, r.text, r.avgConfidence)
+        val memo = scala.collection.mutable.HashMap.empty[String, OcrRow]
+        it.map { case (ref, bytes, h) =>
+          val r = memo.getOrElseUpdate(h, {
+            val d = engine.decode(bytes, quality)
+            OcrRow(h, d.text, d.avgConfidence)
+          })
+          RefOcr(ref, r.ocr_text, r.ocr_conf)
         }
       }
       .toDF()
 
-    // salted join back: explode the small (deduped) side saltBuckets
-    // ways, key the big side by a uniform salt — Zipf-hot hashes spread
-    // across saltBuckets tasks. AQE skew-join remains enabled on top.
+    // salted join back: explode the small (one row per distinct ref)
+    // side saltBuckets ways, key the span side by a uniform salt —
+    // Zipf-hot refs spread across saltBuckets tasks. AQE skew-join
+    // remains enabled on top.
     val s = math.max(1, cfg.saltBuckets)
-    val saltedOcr = ocrResults
+    val saltedOcr = refOcr
       .withColumn("salt", explode(lit((0 until s).toArray)))
-    // LEFT joins: a dangling or size-capped media_ref must surface as
+    // LEFT join: a dangling or size-capped media_ref must surface as
     // an empty span with confidence 0 (the reference's OCR-failure
     // shape, app.py:602), never silently drop the span from the
     // sequence — the north rule checks order completeness.
-    val mediaWithHash = mediaSpans
-      .join(refToHash, Seq("media_ref"), "left")
+    val mediaOut = mediaSpans
       .withColumn("salt", pmod(xxhash64($"doc_id", $"offset"), lit(s)).cast("int"))
-    val mediaOut = mediaWithHash
-      .join(saltedOcr, Seq("content_hash", "salt"), "left")
+      .join(saltedOcr, Seq("media_ref", "salt"), "left")
       .select($"doc_id", $"kind",
         coalesce($"ocr_text", lit("")).as("text"),
         $"media_ref", $"offset",
         coalesce($"ocr_conf", lit(0.0)).as("confidence"))
 
-    textOut.unionByName(mediaOut).unionByName(sentinels)
+    textOut.unionByName(mediaOut)
   }
 
-  /** Assemble per-document output: spans spliced back in offset order
-    * (the north-rule sequence), full text = "\n\n"-joined span texts
-    * (multi-page concat, `app.py:791`), document confidence = mean of
-    * positive span confidences (`app.py:757-792`), plus summary +
-    * compression ratio (`app.py:2026-2034`).
+  /** Aggregate step of document assembly: one row per doc_id with `sp`,
+    * the offset-sorted span structs (doc-preservation sentinels — null
+    * kind — removed from the sequence; the doc_id itself survives the
+    * groupBy regardless). Kept separate from [[finishDocs]] so a
+    * repartition can sit between them: range partitioning SAMPLES its
+    * child plan, and sampling must never re-run the summarizer.
     */
-  def assembleDocs(spark: SparkSession, extractedSpans: DataFrame): DataFrame = {
+  def assembleSpans(spark: SparkSession, extractedSpans: DataFrame): DataFrame = {
     import spark.implicits._
-
-    val summarizeUdf = udf { (text: String) => graft.text.Summarizer.summarize(text, 0.3) }
-
     extractedSpans
       .groupBy($"doc_id")
       .agg(sort_array(collect_list(struct(
         $"offset", $"kind", $"text", $"media_ref", $"confidence"))).as("sp0"))
-      // drop doc-preservation sentinels (null kind) from the sequence;
-      // the doc_id itself survives the groupBy regardless
       .withColumn("sp", filter($"sp0", x => x("kind").isNotNull))
-      .select(
-        $"doc_id",
-        // back to input_hint field order, offset kept per span
-        transform($"sp", x => struct(
-          x("kind").as("kind"), x("text").as("text"),
-          x("media_ref").as("media_ref"), x("offset").as("offset"),
-          x("confidence").as("confidence"))).as("spans"),
-        array_join(transform($"sp", x => x("text")), "\n\n").as("text"),
-        coalesce(
-          aggregate(
-            filter($"sp", x => x("confidence") > 0),
-            struct(lit(0.0).as("s"), lit(0L).as("n")),
-            (acc, x) => struct((acc("s") + x("confidence")).as("s"), (acc("n") + 1L).as("n")),
-            acc => when(acc("n") > 0, acc("s") / acc("n"))),
-          lit(0.0)).as("confidence"),
-        size(filter($"sp", x => x("kind") === "media")).as("media_count"))
+      .drop("sp0")
+  }
+
+  /** Projection step of document assembly: spans spliced back in offset
+    * order (the north-rule sequence), full text = "\n\n"-joined span
+    * texts (multi-page concat, `app.py:791`), document confidence =
+    * mean of positive span confidences (`app.py:757-792`), plus summary
+    * + compression ratio (`app.py:2026-2034`). Extra columns on the
+    * input (e.g. bucket) pass through.
+    */
+  def finishDocs(spark: SparkSession, assembled: DataFrame): DataFrame = {
+    import spark.implicits._
+    val summarizeUdf = udf { (text: String) => graft.text.Summarizer.summarize(text, 0.3) }
+    assembled
+      // back to input_hint field order, offset kept per span
+      .withColumn("spans", transform($"sp", x => struct(
+        x("kind").as("kind"), x("text").as("text"),
+        x("media_ref").as("media_ref"), x("offset").as("offset"),
+        x("confidence").as("confidence"))))
+      .withColumn("text", array_join(transform($"sp", x => x("text")), "\n\n"))
+      .withColumn("confidence", coalesce(
+        aggregate(
+          filter($"sp", x => x("confidence") > 0),
+          struct(lit(0.0).as("s"), lit(0L).as("n")),
+          (acc, x) => struct((acc("s") + x("confidence")).as("s"), (acc("n") + 1L).as("n")),
+          acc => when(acc("n") > 0, acc("s") / acc("n"))),
+        lit(0.0)))
+      .withColumn("media_count", size(filter($"sp", x => x("kind") === "media")))
+      .drop("sp")
       .withColumn("summary", summarizeUdf($"text"))
       .withColumn("compression_ratio",
         when(length($"text") > 0, length($"summary").cast("double") / length($"text"))
           .otherwise(lit(0.0)))
   }
+
+  /** Assemble per-document output (aggregate + projection). */
+  def assembleDocs(spark: SparkSession, extractedSpans: DataFrame): DataFrame =
+    finishDocs(spark, assembleSpans(spark, extractedSpans))
 
   /** Full run: extract + assemble. */
   def run(spark: SparkSession, docs: DataFrame, media: DataFrame,
@@ -262,16 +287,25 @@ object ExtractJob {
     val withBucket = docs.withColumn("bucket", bucketCol(cfg.outputBuckets))
     val pending = if (committed.isEmpty) withBucket
       else withBucket.filter(!$"bucket".isin(committed.toSeq: _*))
-    if (pending.isEmpty) return RunSummary(0L, 0L, 0L, 0, snapshotId)
+    // the emptiness probe is itself a scan of the input — only worth it
+    // when a previous run committed something (fresh runs never skip)
+    if (committed.nonEmpty && pending.isEmpty)
+      return RunSummary(0L, 0L, 0L, 0, snapshotId)
 
     val obs = new org.apache.spark.sql.Observation()
     val stats = udaf(new BucketManifestAgg(cfg.outputBuckets))
-    val out = run(spark, pending.drop("bucket"), media, cfg)
+    // north_rule: explicit repartitionByRange on doc_id — clusters each
+    // bucket's files by doc range (ordered output, prunable). The range
+    // exchange sits BETWEEN the assembly aggregate and the finishing
+    // projection: range partitioning samples its child, and the child
+    // here is the cheap (doc_id, sp, bucket) aggregate — the summarizer
+    // UDF runs strictly after the exchange, exactly once per document.
+    val assembled = assembleSpans(spark,
+        extractSpans(spark, pending.drop("bucket"), media, cfg))
       .withColumn("bucket", bucketCol(cfg.outputBuckets))
-      .withColumn("span_count", size($"spans"))
-      // north_rule: explicit repartitionByRange on doc_id — clusters
-      // each bucket's files by doc range (ordered output, prunable)
       .repartitionByRange(cfg.outputBuckets, col("bucket"), col("doc_id"))
+    val out = finishDocs(spark, assembled)
+      .withColumn("span_count", size($"spans"))
       .observe(obs, stats($"bucket", $"span_count", $"media_count", $"confidence")
         .as("bucket_stats"))
 
