@@ -259,7 +259,7 @@ object SparkEntry {
     }),
 
     "x05_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(s.read.parquet(p(dir, "documents")), maxDist = 16)
+      Dedup.simhashPairs(s.read.parquet(p(dir, "documents")), maxDist = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -282,19 +282,26 @@ object SparkEntry {
     }),
 
     "x08_ngram_jaccard" -> ((s, dir) => {
+      // deterministic pair set (id, id+250 | id % 4 == 0): the exact
+      // n-gram Jaccard verifier gets a full DuckDB oracle; candidate
+      // GENERATION is covered by x05 + the planted-pair specs
       val docs = s.read.parquet(p(dir, "documents"))
-      val pairs = Dedup.simhashPairs(docs, maxDist = 24).select(col("id_a"), col("id_b"))
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids
+        .filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 250).as("id_b"))
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
       Dedup.ngramJaccard(docs, pairs)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     "x09_mm_metadata" -> ((s, dir) => {
-      Multimodal.metadata(s, mixedMedia(s, dir)).toDF()
+      Multimodal.metadata(s, synthMedia(s)).toDF()
         .orderBy(col("media_ref"))
     }),
 
     "x10_mm_frames" -> ((s, dir) => {
-      Multimodal.frameSampleTable(s, mixedMedia(s, dir), stride = 2).toDF()
+      Multimodal.frameSampleTable(s, synthMedia(s), stride = 2).toDF()
         .groupBy(col("media_ref"))
         .agg(count(lit(1)).as("n_sampled"), min(col("frame_idx")).as("first_frame"),
           max(col("frame_idx")).as("last_frame"))
@@ -316,7 +323,34 @@ object SparkEntry {
         .orderBy(col("media_ref"), col("column_id"))
     }),
 
-    "x13_scope_page_summary" -> ((s, dir) => {
+    "x13_scope_page" -> ((s, dir) => {
+      // page-scope assembly over a DETERMINISTIC extracted-shaped input
+      // (each document's text split into 10-token pages) so the scope
+      // operator gets a DuckDB oracle; the OCR-content page scope stays
+      // covered by x14 + the PipelineSpec north-rule fixtures.
+      val docs = s.read.parquet(p(dir, "documents"))
+      val toks = filter(split(col("text"), "\\W+"), t => t =!= "")
+      val chunks = docs
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), floor((size(col("toks")) - 1) / lit(10)).cast("int")),
+          i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " "))))
+        .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
+      val assembled = chunks
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("idx"), col("chunk")))).as("sp"))
+        .select(col("doc_id"), transform(col("sp"), x => struct(
+          lit("text").as("kind"), x("chunk").as("text"),
+          lit("").as("media_ref"), x("idx").as("offset"),
+          lit(90.0).as("confidence"))).as("spans"))
+      graft.pipe.Scope.pageScope(assembled)
+        .drop("summary")
+        .orderBy(col("doc_id"), col("page"))
+    }),
+
+    "x14_scope_page_summary_ocr" -> ((s, dir) => {
+      // the OCR-content variant (rows-only): full pipeline -> page scope
       val docs = Corpus.documents(s, dir).toDF()
       val media = Corpus.media(s, dir).toDF()
       graft.pipe.Scope.pageScope(ExtractJob.run(s, docs, media))
@@ -324,18 +358,18 @@ object SparkEntry {
     })
   )
 
-  /** Mixed-modality binary table for the multimodal queries: the
-    * corpus's image rasters plus deterministic synthetic video/audio
-    * containers (no external data; seeded by index).
+  /** Synthetic video/audio containers with CLOSED-FORM parameters
+    * (n_frames = i%6+3, n_samples = 4000 + i*37 mod 8000): the x09/x10
+    * DuckDB oracles recompute the expected metadata as pure arithmetic
+    * over `range()`. Det-seeded containers (and image rasters) remain
+    * covered by MultimodalSpec + x11.
     */
-  private def mixedMedia(s: SparkSession, dir: String): DataFrame = {
+  private def synthMedia(s: SparkSession): DataFrame = {
     import s.implicits._
-    val images = Corpus.media(s, dir).toDF().limit(20)
-    val synth = s.range(20).map { i =>
-      if (i % 2 == 0) (f"vid-$i%04d", Multimodal.synthVideo(i.toInt))
-      else (f"aud-$i%04d", Multimodal.synthAudio(i.toInt))
+    s.range(20).map { i =>
+      if (i % 2 == 0) (f"vid-$i%04d", Multimodal.synthVideo(i.toInt, nFrames = (i % 6 + 3).toInt))
+      else (f"aud-$i%04d", Multimodal.synthAudio(i.toInt, nSamples = (4000 + i * 37 % 8000).toInt))
     }.toDF("media_ref", "bytes")
-    images.unionByName(synth)
   }
 
   private def embDim(s: SparkSession, dir: String): Int =
@@ -562,6 +596,50 @@ object SparkEntry {
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
         |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x08_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
+        |    ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 250
+        |WHERE a.doc_id % 4 = 0
+        |ORDER BY 1, 2""".stripMargin,
+
+    "x09_mm_metadata" ->
+      """SELECT media_ref, kind, width, height, n_frames, sample_rate, n_samples, n_bytes FROM (
+        |  SELECT 'vid-' || lpad(i::VARCHAR, 4, '0') AS media_ref, 'video' AS kind,
+        |         324 AS width, 14 AS height, i % 6 + 3 AS n_frames,
+        |         0 AS sample_rate, 0 AS n_samples, 8 + (i % 6 + 3) * 4548 AS n_bytes
+        |  FROM range(0, 20, 2) t(i)
+        |  UNION ALL
+        |  SELECT 'aud-' || lpad(i::VARCHAR, 4, '0'), 'audio', 0, 0, 0, 8000,
+        |         4000 + i * 37 % 8000, 12 + 4000 + i * 37 % 8000
+        |  FROM range(1, 20, 2) t(i)) u
+        |ORDER BY media_ref""".stripMargin,
+
+    "x10_mm_frames" ->
+      """SELECT 'vid-' || lpad(i::VARCHAR, 4, '0') AS media_ref,
+        |  (i % 6 + 3 + 1) // 2 AS n_sampled, 0 AS first_frame,
+        |  ((i % 6 + 3 - 1) // 2) * 2 AS last_frame
+        |FROM range(0, 20, 2) t(i) ORDER BY media_ref""".stripMargin,
+
+    "x13_scope_page" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, u.i AS page,
+        |         array_to_string(toks[u.i*10+1 : u.i*10+10], ' ') AS scope_text
+        |  FROM t, LATERAL unnest(generate_series(0, (len(toks)-1)//10)) u(i)
+        |  WHERE len(toks) > 0)
+        |SELECT doc_id, page, scope_text FROM c ORDER BY doc_id, page""".stripMargin,
 
     "q17_summarize_sql" ->
       s"""WITH sents AS (

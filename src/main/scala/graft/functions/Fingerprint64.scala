@@ -65,9 +65,19 @@ object GraftFunctions {
     org.apache.spark.sql.GraftBridge.toColumn(
       Fingerprint64(org.apache.spark.sql.GraftBridge.toExpression(c)))
 
+  def simhash64(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      SimHash64(org.apache.spark.sql.GraftBridge.toExpression(c)))
+
+  def minhashSig(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      MinHashSig(org.apache.spark.sql.GraftBridge.toExpression(c), k))
+
   /** Register SQL names on a session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fingerprint64", exprs => Fingerprint64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64(exprs.head), "scala_udf")
   }
 }

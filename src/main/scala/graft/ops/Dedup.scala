@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB): exact dedup is one hash-shuffle on a 32-byte
   * key; MinHash-LSH shuffles (band, bucket-hash) pairs — bucket sizes
-  * are bounded by banding so the pair join never quadratic-explodes on
-  * the full corpus, only within buckets; SimHash groups by a 16-bit
-  * prefix first so candidate verification stays local per group.
+  * are bounded by banding plus an explicit cap (with a queryable audit
+  * companion) so the pair join never quadratic-explodes on the full
+  * corpus, only within buckets; SimHash uses pigeonhole multi-index
+  * blocking (maxDist+1 chunk indexes — guaranteed recall at the
+  * threshold, same capped-block contract).
   */
 object Dedup {
 
@@ -55,9 +57,10 @@ object Dedup {
   def shingleHashes(shingleCol: Column): Column =
     transform(shingleCol, s => pmod(xxhash64(s), lit(MINHASH_PRIME)))
 
-  /** MinHash signature over a pre-hashed shingle array. Pass this a
-    * materialized column (not an inline expression) so the hashing work
-    * is shared across the k mins.
+  /** Declarative MinHash signature over a pre-hashed shingle array —
+    * the law-checked reference twin of the native codegen expression
+    * [[graft.functions.MinHashSig]] (which fuses the k mins into one
+    * generated loop and is what the LSH pipeline uses).
     */
   def minhashSignature(hashedCol: Column, k: Int = 32): Column = {
     val sig = (0 until k).map { i =>
@@ -68,32 +71,34 @@ object Dedup {
     array(sig: _*)
   }
 
-  /** MinHash + LSH banding near-duplicate pairs.
-    *
-    * k hashes split into `bands` bands of `rowsPerBand`; docs sharing
-    * any band bucket are candidates; candidates are verified by
-    * estimated Jaccard (signature agreement) >= threshold. The
-    * band/bucket self-join is the only shuffle that matters at scale;
-    * the bucket key includes the band id so buckets stay small.
+  /** MinHash signatures over one representative per distinct normalized
+    * content. Exact duplicates are collapsed FIRST: clusters of
+    * identical text would otherwise meet in every band bucket and blow
+    * the self-join up quadratically (standard practice at corpus
+    * scale); exact() reports the identical groups separately.
     */
-  def minhashLsh(docs: DataFrame, threshold: Double = 0.5,
-                 k: Int = 32, bands: Int = 8,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val rowsPerBand = k / bands
-    // collapse exact duplicates FIRST: clusters of identical text would
-    // otherwise meet in every band bucket and blow the self-join up
-    // quadratically. LSH runs over one representative per distinct
-    // normalized content (standard practice at corpus scale); exact()
-    // reports the identical groups separately.
+  private def signaturesOf(docs: DataFrame, k: Int,
+                           idCol: String, textCol: String): DataFrame = {
     val reps = docs
       .withColumn("__fp", fingerprint(col(textCol)))
       .groupBy(col("__fp"))
       .agg(min(col(idCol)).as("id"), first(col(textCol)).as("__text"))
-    val sigs = reps
+    // pin the signature-map width: AQE coalesces the post-collapse
+    // shuffle by BYTES, and text bytes are tiny relative to the
+    // shingle+minhash cost per row — without the pin the whole
+    // signature stage runs as one task (measured: 6.5s single-task at
+    // 8 cores). REPARTITION_BY_NUM is exempt from AQE coalescing.
+    reps
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2, col("id"))
       .withColumn("hashed", shingleHashes(shingles(col("__text"))))
-      .select(col("id"), minhashSignature(col("hashed"), k).as("sig"))
+      .select(col("id"),
+        graft.functions.GraftFunctions.minhashSig(col("hashed"), k).as("sig"))
+  }
 
-    val banded = sigs.select(
+  /** (id, sig, band, bucket) band memberships of the signatures. */
+  private def bandedSignatures(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    sigs.select(
       col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(array_join(
@@ -101,36 +106,83 @@ object Dedup {
             x => x.cast("string")), ",")))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+  }
+
+  /** Audit companion of [[minhashLsh]]: the (band, bucket) groups LARGER
+    * than maxBucket — exactly the memberships minhashLsh(..., maxBucket)
+    * excludes from pairing. Same banding plan, so what this reports is
+    * what the operator dropped; run it whenever the cap may have fired.
+    */
+  def lshOversizedBuckets(docs: DataFrame, k: Int = 32, bands: Int = 8,
+                          maxBucket: Long = 1L << 20,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bandedSignatures(signaturesOf(docs, k, idCol, textCol), k, bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucket)
+
+  /** MinHash + LSH banding near-duplicate pairs.
+    *
+    * k hashes split into `bands` bands of `k/bands` rows; docs sharing
+    * any band bucket are candidates; candidates are verified by
+    * estimated Jaccard (signature agreement) >= threshold. The
+    * band/bucket self-join is the only shuffle that matters at scale;
+    * the bucket key includes the band id so buckets stay small.
+    */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.5,
+                 k: Int = 32, bands: Int = 8,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 maxBucket: Long = 1L << 20): DataFrame = {
+    val sigs = signaturesOf(docs, k, idCol, textCol)
+
+    // bucket-size cap: a single boilerplate bucket that somehow survives
+    // the exact-dup collapse (near-identical templated text) would make
+    // the self-join quadratic in that bucket. Buckets above maxBucket
+    // are EXCLUDED from pairing. The exclusion is never silent: run
+    // [[lshOversizedBuckets]] (same banding plan, same maxBucket) to
+    // enumerate exactly which buckets were dropped and how large they
+    // were — truncation is a first-class queryable fact. The window
+    // count shares the join's (band,bucket) shuffle — no extra
+    // exchange.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
+    val banded = bandedSignatures(sigs, k, bands)
+      .withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
 
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-
-    candidates
+      // estimate + threshold BEFORE the pair dedup: the dedup shuffle
+      // then moves (id, id, double) rows, not two k-long signatures
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
           .cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
   }
 
-  /** 64-bit SimHash over tokens. Single pass: one aggregate over the
-    * token-hash array with a 64-vote array accumulator (each token
-    * hashed once; per-bit vote +-1; bit set where the vote is
-    * positive). All higher-order column functions — stays in codegen.
+  /** 64-bit SimHash over tokens (each token hashed once; per-bit vote
+    * +-1; bit set where the vote is positive). The hot path is the
+    * native codegen expression [[graft.functions.SimHash64]] — one
+    * generated loop per row; [[simhashFromHashes]] keeps the
+    * declarative higher-order-function form as the law-checked twin.
     */
-  def simhash(text: Column): Column = {
-    val toksH = transform(filter(split(lower(text), "\\W+"), t => t =!= ""),
-      t => xxhash64(t))
-    simhashFromHashes(toksH)
-  }
+  def simhash(text: Column): Column =
+    graft.functions.GraftFunctions.simhash64(
+      transform(filter(split(lower(text), "\\W+"), t => t =!= ""),
+        t => xxhash64(t)))
 
   private val BIT_MASKS: Column =
     array((0 until 64).map(i => lit(1L << i)): _*)
 
+  /** Declarative reference implementation of the simhash vote —
+    * semantically identical to [[graft.functions.SimHash64]]
+    * (GraftProps checks the law); the native expression is ~an order
+    * of magnitude cheaper per row.
+    */
   def simhashFromHashes(hashedCol: Column): Column = {
     val votes = aggregate(hashedCol, array_repeat(lit(0L), 64),
       (acc, h) => zip_with(acc, BIT_MASKS,
@@ -139,26 +191,84 @@ object Dedup {
       lit(0L), (a, x) => a.bitwiseOR(x))
   }
 
-  /** SimHash near-dup pairs: group by 16-bit prefix (cheap blocking),
-    * verify Hamming distance <= maxDist within groups.
+  /** SimHash near-dup pairs over (id, sh) rows with GUARANTEED recall
+    * at `hamming <= maxDist`: pigeonhole multi-index blocking. The 64
+    * bits split into m = maxDist+1 chunks; two hashes within maxDist
+    * differ in at most maxDist bit positions, so by pigeonhole they
+    * agree EXACTLY on at least one chunk — every qualifying pair
+    * collides in >= 1 of the m indexes (the old single 16-bit-prefix
+    * block missed ~99% of pairs at maxDist=16). Candidates are
+    * verified by exact Hamming distance and deduped.
+    *
+    * Scale note: chunk-key cardinality is 2^(64/m) — the recall
+    * guarantee is cheap for small maxDist (maxDist=3 -> four 16-bit
+    * indexes, the classic Manku/Google configuration for 10^10+ docs)
+    * and gets block-heavy as maxDist grows; blocks above `maxBlock`
+    * are excluded from pairing — never silently: the audit companion
+    * [[simhashOversizedBlocks]] (same index plan, same maxBlock)
+    * enumerates exactly what was dropped.
     */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 8,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // same exact-duplicate collapse as minhashLsh: identical docs all
-    // share a simhash and would pair quadratically within their block
-    val reps = docs
-      .withColumn("__fp", fingerprint(col(textCol)))
-      .groupBy(col("__fp"))
-      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("__text"))
-    val hashed = reps.select(col("id"), simhash(col("__text")).as("sh"))
-      .withColumn("block", shiftrightunsigned(col("sh"), 48))
-    val a = hashed.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = hashed.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("block"))
+  /** (id, sh, chunk, cval) pigeonhole index memberships: m = maxDist+1
+    * chunks of ~64/m bits each.
+    */
+  private def chunkIndexed(hashed: DataFrame, maxDist: Int): DataFrame = {
+    val m = maxDist + 1
+    val width = 64 / m
+    val chunks = (0 until m).map { i =>
+      val lo = i * width
+      val w = if (i == m - 1) 64 - lo else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      struct(lit(i).as("chunk"),
+        shiftrightunsigned(col("sh"), lo).bitwiseAND(lit(mask)).as("cval"))
+    }
+    hashed
+      .select(col("id"), col("sh"), explode(array(chunks: _*)).as("c"))
+      .select(col("id"), col("sh"), col("c.chunk").as("chunk"), col("c.cval").as("cval"))
+  }
+
+  /** Audit companion of [[simhashPairsFromHashes]]: the (chunk, cval)
+    * blocks larger than maxBlock — exactly the memberships the pairing
+    * excludes at the same maxBlock.
+    */
+  def simhashOversizedBlocks(hashed: DataFrame, maxDist: Int,
+                             maxBlock: Long = 1L << 20): DataFrame =
+    chunkIndexed(hashed, maxDist)
+      .groupBy(col("chunk"), col("cval"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBlock)
+
+  def simhashPairsFromHashes(hashed: DataFrame, maxDist: Int,
+                             maxBlock: Long = 1L << 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"), col("cval"))
+    val indexed = chunkIndexed(hashed, maxDist)
+      .withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBlock)
+      .drop("__bn")
+    val a = indexed.select(col("chunk"), col("cval"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = indexed.select(col("chunk"), col("cval"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "cval"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** SimHash near-dup pairs from raw text: exact-duplicate collapse
+    * (identical docs all share a simhash and would pair quadratically
+    * within their block — exact() reports those groups separately),
+    * then pigeonhole multi-index pairing.
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 8,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val reps = docs
+      .withColumn("__fp", fingerprint(col(textCol)))
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("__text"))
+    simhashPairsFromHashes(
+      reps
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2, col("id"))
+        .select(col("id"), simhash(col("__text")).as("sh")), maxDist)
   }
 
   /** Exact n-gram Jaccard for candidate pairs (the precise verifier

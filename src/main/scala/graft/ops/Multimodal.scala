@@ -64,10 +64,14 @@ object Multimodal {
     out.toByteArray
   }
 
-  def synthAudio(i: Int): Array[Byte] = {
+  /** nSamples = 0 draws the count from the Det stream; an explicit
+    * count makes the container's metadata closed-form (the DuckDB
+    * oracle for x09 recomputes it as pure arithmetic).
+    */
+  def synthAudio(i: Int, nSamples: Int = 0): Array[Byte] = {
     val seed = Det.mix64(0xa0d10L, i.toLong)
     val rate = 8000
-    val n = 4000 + Det.bounded(Det.at(seed, 0), 8000)
+    val n = if (nSamples > 0) nSamples else 4000 + Det.bounded(Det.at(seed, 0), 8000)
     val out = new java.io.ByteArrayOutputStream()
     out.write(AUD_MAGIC, 0, 4)
     putI32(out, rate); putI32(out, n)

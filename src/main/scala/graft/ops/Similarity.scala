@@ -40,32 +40,57 @@ object Similarity {
       .limit(k)
   }
 
-  /** Sign-random-projection bucket id: `planes` deterministic
-    * pseudo-random hyperplanes; bit i = sign of dot(v, plane_i).
-    * Plane components derived from Det-keyed hashes in [-0.5, 0.5).
+  /** Deterministic pseudo-random hyperplane p (components in
+    * [-0.5, 0.5), Det-keyed).
     */
-  def lshBucket(vec: Column, dim: Int, planes: Int = 12): Column = {
-    val bits = (0 until planes).map { p =>
-      val plane = array((0 until dim).map { d =>
-        lit(graft.util.Det.double01(graft.util.Det.at(0xb00cL + p, d.toLong)) - 0.5)
-      }: _*)
-      when(dot(vec, plane) >= 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  private def planeCol(p: Int, dim: Int): Column =
+    array((0 until dim).map { d =>
+      lit(graft.util.Det.double01(graft.util.Det.at(0xb00cL + p, d.toLong)) - 0.5)
+    }: _*)
 
-  /** ANN top-k via LSH buckets: queries join only their own bucket.
+  /** Sign-random-projection bucket id: `planes` deterministic
+    * hyperplanes; bit i = sign of dot(v, plane_i).
+    */
+  def lshBucket(vec: Column, dim: Int, planes: Int = 12): Column =
+    (0 until planes).map { p =>
+      when(dot(vec, planeCol(p, dim)) >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** ANN top-k via LSH buckets: queries join only their own bucket(s).
     * Returns per-query candidates ranked by cosine. Exactness is
-    * traded for the bucket restriction (the standard ANN contract);
-    * multi-probe = union over `probes` sign-flips of the query bucket.
+    * traded for the bucket restriction (the standard ANN contract).
+    *
+    * Multi-probe: each query additionally probes the `probes` buckets
+    * reached by flipping the planes whose margin |dot(q, plane)| is
+    * smallest — the standard multi-probe LSH order (the boundary a
+    * vector sits closest to is the one its true neighbors most likely
+    * fell across). probes=0 is single-bucket. Probe buckets are
+    * disjoint slices of the corpus, so candidates never duplicate;
+    * recall grows with probes at probes× the candidate cost, without
+    * re-hashing or extra tables.
     */
   def annTopK(embeddings: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
-              planes: Int = 12,
+              planes: Int = 12, probes: Int = 0,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val emb = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), dim, planes))
-    val qs = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), dim, planes))
+    val masks = array((0 until planes).map(p => lit(1L << p)): _*)
+    val qs0 = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("__dots",
+        array((0 until planes).map(p => dot(col("qv"), planeCol(p, dim))): _*))
+      .withColumn("__bucket",
+        (0 until planes).map { p =>
+          when(element_at(col("__dots"), p + 1) >= 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)))
+    // planes ordered by |margin| ascending; flip the closest `probes`
+    val flips = transform(
+      slice(sort_array(array((0 until planes).map { p =>
+        struct(abs(element_at(col("__dots"), p + 1)).as("m"), lit(p).as("p"))
+      }: _*)), 1, math.min(math.max(probes, 0), planes)),
+      x => col("__bucket").bitwiseXOR(element_at(masks, x("p") + 1)))
+    val qs = qs0
+      .withColumn("bucket", explode(concat(array(col("__bucket")), flips)))
+      .drop("__dots", "__bucket")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     qs.join(emb, Seq("bucket"))

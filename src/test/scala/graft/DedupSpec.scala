@@ -80,6 +80,114 @@ class DedupSpec extends AnyFunSuite {
       s"near ${ham(sh(1L), sh(2L))} !< far ${ham(sh(1L), sh(3L))}")
   }
 
+  test("simhash pigeonhole blocking finds planted pairs at every distance <= maxDist") {
+    import spark.implicits._
+    // adversarial bit placement: differing bits scattered across the
+    // whole word, so no single 16-bit prefix is clean — the round-1
+    // single-prefix blocking missed these with ~99% probability
+    val base = 0x0f0f0f0f0f0f0f0fL
+    def flip(h: Long, bits: Seq[Int]): Long = bits.foldLeft(h)((a, b) => a ^ (1L << b))
+    val rows = Seq(
+      (1L, base),
+      (2L, flip(base, Seq(63))),                      // distance 1
+      (3L, flip(base, Seq(0, 9, 18, 27, 36, 45, 54, 63))), // distance 8
+      (4L, flip(base, 0 until 48 by 4)),              // distance 12
+      (5L, flip(base, 0 until 64 by 4)),              // distance 16
+      (6L, ~base)                                     // distance 64 — unrelated
+    ).toDF("id", "sh")
+    val pairs = Dedup.simhashPairsFromHashes(rows, maxDist = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(1), s"d=1 pair missing: $pairs")
+    assert(pairs.get((1L, 3L)).contains(8), s"d=8 pair missing: $pairs")
+    assert(pairs.get((1L, 4L)).contains(12), s"d=12 pair missing: $pairs")
+    assert(pairs.get((1L, 5L)).contains(16), s"d=16 pair missing: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 6L || p._2 == 6L), s"unrelated paired: $pairs")
+  }
+
+  test("lsh bucket cap bounds flooded buckets; audit companion enumerates the exclusions") {
+    // boilerplate corpus: near-identical docs that defeat the exact-dup
+    // collapse (one unique token each) and flood shared band buckets
+    val boiler = (1 to 60).map(i =>
+      (i.toLong, (1 to 30).map(j => s"tmpl$j").mkString(" ") + s" unique$i"))
+    val d = docs(boiler: _*)
+    val uncapped = Dedup.minhashLsh(d, threshold = 0.5).count()
+    assert(uncapped > 1000, s"boilerplate corpus must flood buckets (got $uncapped pairs)")
+    val capped = Dedup.minhashLsh(d, threshold = 0.5, maxBucket = 10).count()
+    assert(capped < uncapped / 10, s"cap must bound the quadratic join ($capped vs $uncapped)")
+    // the exclusion is not silent: the audit query reports each dropped
+    // bucket with its size (same banding plan, same cap)
+    val dropped = Dedup.lshOversizedBuckets(d, maxBucket = 10).collect()
+    assert(dropped.nonEmpty, "audit companion must enumerate the dropped buckets")
+    assert(dropped.forall(_.getLong(2) >= 50), s"flooded buckets hold ~all 60 docs: ${dropped.toSeq}")
+    // ...and reports nothing when the cap never fired
+    assert(Dedup.lshOversizedBuckets(d, maxBucket = 1000).isEmpty)
+    // simhash audit companion, same contract
+    import spark.implicits._
+    val flood = (1L to 50L).map(i => (i, 0x1234L)).toDF("id", "sh")
+    assert(Dedup.simhashOversizedBlocks(flood, maxDist = 3, maxBlock = 10).count() == 4L)
+    assert(Dedup.simhashPairsFromHashes(flood, maxDist = 3, maxBlock = 10).count() == 0L)
+  }
+
+  /** Clustered embedding fixture: ANN recall is only meaningful when
+    * neighborhoods EXIST. The driver's embeddings.parquet is i.i.d.
+    * noise (measured: best cosine to any query ~0.33, no structure) —
+    * there, no sublinear index can beat random candidate selection, so
+    * recall is asserted on planted clusters and only candidate-count
+    * monotonicity on the testdata table.
+    */
+  private def clustered(nClusters: Int, perCluster: Int, dim: Int, noise: Double) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centroids = Array.fill(nClusters, dim)(rnd.nextGaussian())
+    (0 until nClusters).flatMap { c =>
+      (0 until perCluster).map { m =>
+        val v = centroids(c).map(x => (x + noise * rnd.nextGaussian()).toFloat)
+        ((c * perCluster + m).toLong, v.toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("multi-probe ANN recall@10 >= 0.9 vs brute-force ground truth (planted clusters)") {
+    val dim = 64
+    val emb = clustered(nClusters = 40, perCluster = 12, dim = dim, noise = 0.08)
+    val qids = (0 until 8).map(c => (c * 12).toLong)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+    val ann = Similarity.annTopK(emb, queries, dim = dim, k = 10, planes = 6, probes = 6)
+      .collect()
+      .groupBy(_.getAs[Number](0).longValue)
+      .map { case (q, rows) => q -> rows.map(_.getAs[Number](1).longValue).toSet }
+    val vecs = emb.collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val recalls = qids.map { q =>
+      val truth = vecs.toSeq.filter(_._1 != q)
+        .sortBy { case (id, v) => (-cos(vecs(q), v), id) }
+        .take(10).map(_._1).toSet
+      truth.intersect(ann.getOrElse(q, Set.empty)).size / 10.0
+    }
+    val mean = recalls.sum / qids.size
+    assert(mean >= 0.9, s"mean recall@10 $mean < 0.9 (per-query: $recalls)")
+  }
+
+  test("multi-probe strictly improves over single-probe (same planes, same data)") {
+    val emb = clustered(nClusters = 40, perCluster = 12, dim = 64, noise = 0.08)
+    val queries = emb.filter(col("vec_id") % 12 === 0 && col("vec_id") < 96)
+    def hits(probes: Int): Long =
+      Similarity.annTopK(emb, queries, dim = 64, k = 10, planes = 6, probes = probes).count()
+    assert(hits(6) > hits(0), "probing more buckets must surface more candidates")
+    // the testdata table (unstructured) still gains candidates from probes
+    val td = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tq = td.filter(col("vec_id") < 8)
+    val h0 = Similarity.annTopK(td, tq, dim = 64, k = 10, planes = 6, probes = 0).count()
+    val h4 = Similarity.annTopK(td, tq, dim = 64, k = 10, planes = 6, probes = 4).count()
+    assert(h4 > h0)
+  }
+
   test("brute-force cosine top-k: self-similar vector ranks first") {
     import spark.implicits._
     val vecs = Seq(
