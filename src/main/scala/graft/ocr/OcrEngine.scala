@@ -169,9 +169,13 @@ final class OcrEngine(val mode: String) {
   /** Extract the 5x7 ink mask of cell (col, row) from a binarized page
     * (ink = 0 after THRESH_BINARY on dark-text-on-light).
     */
-  private def cellMask(bin: Array[Int], w: Int, col: Int, row: Int): Long = {
-    val x0 = SynthRaster.MARGIN + col * SynthRaster.CELL_W
-    val y0 = SynthRaster.MARGIN + row * SynthRaster.CELL_H
+  private def cellMask(bin: Array[Int], w: Int, col: Int, row: Int): Long =
+    cellMaskAt(bin, w,
+      SynthRaster.MARGIN + col * SynthRaster.CELL_W,
+      SynthRaster.MARGIN + row * SynthRaster.CELL_H)
+
+  /** 5x7 ink mask at raw pixel origin (x0, y0). */
+  private def cellMaskAt(bin: Array[Int], w: Int, x0: Int, y0: Int): Long = {
     var mask = 0L
     var b = 0
     while (b < Glyphs.PIX) {
@@ -183,27 +187,55 @@ final class OcrEngine(val mode: String) {
     mask
   }
 
+  /** OCR engine mode — the analog of the reference v2's per-quality
+    * tesseract configs (`fast` `--oem 0 --psm 6` / `standard` /
+    * `accurate`, `app2.py:345-353`). Glyph CHOICE always uses the exact
+    * per-page tables — the mode must never change the text (the north
+    * rule pins span text) — while confidence SCORING differs
+    * observably, the way OEM modes score differently over identical
+    * page segmentation:
+    *
+    *  - fast: scores against ONE fixed table set derived at the
+    *    nominal calibration threshold (128) — zero per-page table
+    *    derivation, the legacy-engine shared-model analog; confidence
+    *    <= standard wherever the page's own threshold differs;
+    *  - standard: exact per-threshold scoring (the default);
+    *  - accurate: scores the chosen glyph at the best of the 9 +-1px
+    *    placements — 9x the scoring work, confidence >= standard (the
+    *    jittered-scan tolerance a slow pass buys).
+    */
+  final val NominalThreshold = 128
+
   /** Decode one raster. Deterministic: same bytes -> same Result. */
-  def decode(bytes: Array[Byte], quality: String = "medium"): Result = {
-    val (w0, h0, px0) = SynthRaster.parse(bytes)
+  def decode(bytes: Array[Byte], quality: String = "medium",
+             ocrMode: String = "standard"): Result = {
+    // compressed inputs (the reference's png/jpg/gif/bmp/tiff
+    // allowlist) decode through ImageIO; raw synthetic rasters through
+    // the parser — one code path after this line either way
+    val (w0, h0, px0) = graft.img.ImageCodec.decode(bytes)
     val (px, w, h) = ImageOps.resizeCap(px0, w0, h0, resizeCapFor(quality))
 
     // run the chain, keeping the page's global threshold (if any) so the
     // decode tables reflect exactly this page's binarization
-    val (bin, templates): (Array[Int], Array[Long]) = mode match {
+    val (bin, templates, pageT): (Array[Int], Array[Long], Int) = mode match {
       case "fast" =>
-        (ImageOps.thresholdGlobal(px, 128), templatesAt(128))
+        (ImageOps.thresholdGlobal(px, 128), templatesAt(128), 128)
       case "balanced" =>
-        (preprocess(px, w, h, "balanced"), balancedTemplates)
+        (preprocess(px, w, h, "balanced"), balancedTemplates, -1)
       case m => // default / quality: blur + Otsu (+ identity 1x1 close)
         val bl = ImageOps.gaussianBlur(px, w, h, if (m == "quality") 5 else 3)
         if (ImageOps.lowContrast(bl))
-          (Array.fill(bl.length)(255), templatesAt(-1)) // blank page
+          (Array.fill(bl.length)(255), templatesAt(-1), -1) // blank page
         else {
           val t = ImageOps.otsuThreshold(bl)
-          (ImageOps.thresholdGlobal(bl, t), templatesAt(t))
+          (ImageOps.thresholdGlobal(bl, t), templatesAt(t), t)
         }
     }
+    // fast engine mode scores against the fixed nominal tables; glyph
+    // choice stays on the exact ones
+    val confTemplates: Array[Long] =
+      if (ocrMode == "fast" && pageT >= 0) templatesAt(NominalThreshold)
+      else templates
 
     val cols = (w - 2 * SynthRaster.MARGIN) / SynthRaster.CELL_W
     val rows = (h - 2 * SynthRaster.MARGIN) / SynthRaster.CELL_H
@@ -220,6 +252,8 @@ final class OcrEngine(val mode: String) {
         if (Glyphs.popcount(mask) < 2) { // blank cell -> space
           line.append(' '); charConfs += -1
         } else {
+          // glyph CHOICE: exact tables, center placement — identical
+          // across engine modes by construction
           var best = 0; var bestD = Int.MaxValue
           var g = 0
           while (g < templates.length) {
@@ -227,8 +261,33 @@ final class OcrEngine(val mode: String) {
             if (d < bestD) { bestD = d; best = g }
             g += 1
           }
+          // confidence SCORING: mode-dependent (see OcrEngine doc)
+          val scoreD = ocrMode match {
+            case "fast" =>
+              Glyphs.popcount(mask ^ confTemplates(best))
+            case "accurate" =>
+              val x0 = SynthRaster.MARGIN + c * SynthRaster.CELL_W
+              val y0 = SynthRaster.MARGIN + r * SynthRaster.CELL_H
+              var dmin = bestD
+              var dy = -1
+              while (dy <= 1) {
+                var dx = -1
+                while (dx <= 1) {
+                  if ((dx != 0 || dy != 0) && x0 + dx >= 0 && y0 + dy >= 0 &&
+                      x0 + dx + Glyphs.W <= w && y0 + dy + Glyphs.H <= h) {
+                    val d = Glyphs.popcount(
+                      cellMaskAt(bin, w, x0 + dx, y0 + dy) ^ templates(best))
+                    if (d < dmin) dmin = d
+                  }
+                  dx += 1
+                }
+                dy += 1
+              }
+              dmin
+            case _ => bestD
+          }
           line.append(Glyphs.alphabet.charAt(best))
-          charConfs += ((Glyphs.PIX - bestD) * 100) / Glyphs.PIX
+          charConfs += math.max(0, ((Glyphs.PIX - scoreD) * 100) / Glyphs.PIX)
         }
         c += 1
       }

@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real — schemas, kernel batch shape
   * (mapPartitions over iterators, one decoder per partition),
   * partitioning — and runs at scale exactly like the OCR kernel. The
-  * codec layer is honest about the sandbox: the synthetic raster and
-  * the two fake container formats below are decoded for real; branches
-  * for external codecs (JPEG/PNG, MP3, H.264 — no imaging/AV libraries
-  * in this environment) are clearly-marked stubs that a deployment
-  * replaces with a library call without touching the Spark plumbing.
+  * codec layer decodes the synthetic raster, the two container formats
+  * below, AND the reference's whole compressed-image allowlist
+  * (png/jpg/gif/bmp/tiff via the JDK's ImageIO — zero added
+  * dependencies, [[graft.img.ImageCodec]]); only AV codecs (MP3,
+  * H.264) remain a deployment concern, behind the same container
+  * seams.
   *
   * Fake containers (deterministic, self-describing):
   *  - video: [magic 'GVID'][n_frames:int32][per frame: len:int32 +
@@ -104,19 +105,16 @@ object Multimodal {
     case "audio" =>
       MediaMeta(ref, "audio", 0, 0, 0, i32(bytes, 4), i32(bytes, 8), bytes.length.toLong)
     case _ =>
-      val (w, h, _) = SynthRaster.parse(bytes)
+      val (w, h, _) = graft.img.ImageCodec.decode(bytes)
       MediaMeta(ref, "image", w, h, 1, 0, 0, bytes.length.toLong)
   }
 
-  /** Image decode. The synthetic raster decodes for real; compressed
-    * formats are a deployment stub (no imaging libs in this sandbox).
+  /** Image decode: compressed formats (png/jpg/gif/bmp/tiff — the
+    * reference's allowlist, app.py:229) via the JDK's ImageIO, the
+    * synthetic raster via its parser. See [[graft.img.ImageCodec]].
     */
   def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Int]) =
-    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
-      // JPEG magic — STUB: deployment replaces with an ImageIO/TwelveMonkeys call
-      throw new UnsupportedOperationException(
-        "compressed-image decode is stubbed in this environment (no imaging libs)")
-    } else SynthRaster.parse(bytes)
+    graft.img.ImageCodec.decode(bytes)
 
   /** Frame sampling: every `stride`-th frame of a video container. */
   def sampleFrames(bytes: Array[Byte], stride: Int): Vector[(Int, Array[Byte])] = {
@@ -190,9 +188,14 @@ object Multimodal {
     media.select(col("media_ref"), col("bytes")).as[(String, Array[Byte])]
       .mapPartitions(_.map { case (r, b) =>
         if (kindOf(b) == "image") {
-          val (w, h, px) = SynthRaster.parse(b)
+          val compressed = graft.img.ImageCodec.isCompressedImage(b)
+          val (w, h, px) = graft.img.ImageCodec.decode(b)
           val (px2, w2, h2) = ImageOps.resizeCap(px, w, h, cap)
-          (r, SynthRaster.toBytes(w2, h2, px2), w2, h2)
+          // format-preserving-ish: compressed in -> PNG out (lossless),
+          // raster in -> raster out
+          val out = if (compressed) graft.img.ImageCodec.encodePng(w2, h2, px2)
+                    else SynthRaster.toBytes(w2, h2, px2)
+          (r, out, w2, h2)
         } else (r, b, -1, -1)
       })
       .toDF("media_ref", "bytes", "width", "height")

@@ -67,6 +67,15 @@ object ExtractJob {
     case _ => "balanced"
   }
 
+  /** quality -> OCR engine mode (the v2 tesseract-config table,
+    * `app2.py:345-353`): low -> fast, high -> accurate, else standard.
+    */
+  def ocrModeFor(quality: String): String = quality match {
+    case "low" => "fast"
+    case "high" => "accurate"
+    case _ => "standard"
+  }
+
   /** Per-span extraction: returns
     * spans(doc_id, kind, text, media_ref, offset, confidence).
     */
@@ -131,6 +140,7 @@ object ExtractJob {
     // the ref->hash side).
     val neededRefs = mediaSpans.select($"media_ref").distinct()
     val mode = preprocessModeFor(cfg.quality)
+    val ocrMode = ocrModeFor(cfg.quality)
     val quality = cfg.quality
     val refOcr = media
       .filter(length($"bytes") <= cfg.maxMediaBytes)
@@ -143,7 +153,7 @@ object ExtractJob {
         val memo = scala.collection.mutable.HashMap.empty[String, OcrRow]
         it.map { case (ref, bytes, h) =>
           val r = memo.getOrElseUpdate(h, {
-            val d = engine.decode(bytes, quality)
+            val d = engine.decode(bytes, quality, ocrMode)
             OcrRow(h, d.text, d.avgConfidence)
           })
           RefOcr(ref, r.ocr_text, r.ocr_conf)

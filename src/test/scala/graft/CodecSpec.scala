@@ -52,6 +52,58 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  for (ocrMode <- Seq("fast", "standard", "accurate");
+       chain <- Seq("fast", "balanced", "quality", "default")) {
+    test(s"engine mode $ocrMode keeps the roundtrip exact under chain=$chain") {
+      val engine = EnginePool.get(chain)
+      samples.take(10).zipWithIndex.foreach { case (text, i) =>
+        val got = engine.decode(SynthRaster.render(text, seed = 2000L + i), "medium", ocrMode)
+        assert(got.text == SynthRaster.groundTruth(text),
+          s"ocrMode=$ocrMode chain=$chain sample=$i")
+      }
+    }
+  }
+
+  test("engine modes differ observably: conf(fast) <= conf(standard) <= conf(accurate)") {
+    val engine = EnginePool.get("default") // Otsu chain: threshold-parameterized tables
+    val diffs = samples.take(20).zipWithIndex.map { case (text, i) =>
+      val bytes = SynthRaster.render(text, seed = 4000L + i)
+      val f = engine.decode(bytes, "medium", "fast").avgConfidence
+      val s = engine.decode(bytes, "medium", "standard").avgConfidence
+      val a = engine.decode(bytes, "medium", "accurate").avgConfidence
+      assert(f <= s, s"fast ($f) must never score above standard ($s), sample $i")
+      assert(a >= s, s"accurate ($a) must never score below standard ($s), sample $i")
+      (f, s, a)
+    }
+    // the fixed nominal tables must actually bite (page thresholds sit
+    // well above 128 on these pages): observable mode difference
+    assert(diffs.exists { case (f, s, _) => f < s }, s"fast never differed: $diffs")
+  }
+
+  test("accurate mode recovers confidence on a misaligned scan (+1px shift)") {
+    val bytes = SynthRaster.render("spark merge scan", seed = 11L)
+    val (w, h, px) = SynthRaster.parse(bytes)
+    // shift the whole page content right by one column (paper fills in)
+    val shifted = new Array[Int](px.length)
+    var y = 0
+    while (y < h) {
+      var x = w - 1
+      while (x >= 0) {
+        shifted(y * w + x) = if (x == 0) SynthRaster.PAPER else px(y * w + x - 1)
+        x -= 1
+      }
+      y += 1
+    }
+    val sb = SynthRaster.toBytes(w, h, shifted)
+    val engine = EnginePool.get("default")
+    val std = engine.decode(sb, "medium", "standard")
+    val acc = engine.decode(sb, "medium", "accurate")
+    assert(acc.text == std.text, "mode must not change the decoded text")
+    assert(acc.avgConfidence > std.avgConfidence,
+      s"placement search must recover confidence on a shifted page " +
+        s"(std=${std.avgConfidence}, acc=${acc.avgConfidence})")
+  }
+
   test("decode is deterministic (same bytes -> same result)") {
     val bytes = SynthRaster.render(samples.head, seed = 7L)
     val e = EnginePool.get("default")

@@ -45,9 +45,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a1.duration_ms > 0 && a1.rms > 0 && a1.zero_crossings > 0)
   }
 
-  test("compressed-image decode is an explicit stub, not silent garbage") {
+  test("PNG round-trip is exact; JPEG decodes approximately; OCR reads a PNG page") {
+    val raw = SynthRaster.render("spark scan merge 42", 99L)
+    val (w, h, px) = SynthRaster.parse(raw)
+    val png = graft.img.ImageCodec.encodePng(w, h, px)
+    assert(graft.img.ImageCodec.isCompressedImage(png))
+    val (pw, ph, ppx) = Multimodal.decodeImage(png)
+    assert((pw, ph) == (w, h))
+    assert(ppx.sameElements(px), "PNG decode must round-trip exactly")
+    val jpg = graft.img.ImageCodec.encodeJpeg(w, h, px)
+    val (jw, jh, jpx) = Multimodal.decodeImage(jpg)
+    assert((jw, jh) == (w, h))
+    val maxErr = jpx.zip(px).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr < 64, s"JPEG decode too lossy (max pixel err $maxErr)")
+    // the OCR engine reads the compressed page like the raw raster
+    val engine = graft.ocr.EnginePool.get("balanced")
+    assert(engine.decode(png).text == engine.decode(raw).text)
+    assert(engine.decode(png).text == SynthRaster.groundTruth("spark scan merge 42"))
+  }
+
+  test("unreadable compressed bytes fail loudly, not as silent garbage") {
     val fakeJpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x01)
-    intercept[UnsupportedOperationException](Multimodal.decodeImage(fakeJpeg))
+    intercept[Exception](Multimodal.decodeImage(fakeJpeg))
   }
 
   test("spark plumbing: metadata / features / frame-sample tables over a binary column") {
