@@ -349,6 +349,37 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("page"))
     }),
 
+    "x16_pdf_extract" -> ((s, dir) => {
+      // S4/S5/S6 — multi-page pdf-analog containers through the full
+      // pipeline (rows-only: page text is OCR output)
+      import s.implicits._
+      val media = s.range(8).map { i =>
+        (f"pdf-$i%04d", Multimodal.synthPdf(
+          (0 to i.toInt % 3 + 1).map(p => s"page $p of doc $i"),
+          graft.util.Det.mix64(0x9dfL, i)))
+      }.toDF("media_ref", "bytes")
+      val docs = s.range(8).map(i => graft.gen.InDoc(f"pd-$i%04d",
+        Seq(graft.gen.InSpan("media", "", f"pdf-$i%04d", 0)))).toDF()
+      ExtractJob.run(s, docs, media)
+        .select(col("doc_id"), col("text"),
+          round(col("confidence"), 4).as("confidence"), col("media_count"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x15_structure_viz" -> ((s, dir) => {
+      // L9 visualization (rows-only: JPEG bytes are not SQL-recomputable);
+      // emit decoded shape + size so regressions are visible in rows
+      import s.implicits._
+      graft.pipe.StructureJob.visualizations(s, Corpus.media(s, dir).toDF().limit(25))
+        .as[(String, Array[Byte])]
+        .map { case (ref, jpg) =>
+          val (w, h, _) = graft.img.ImageCodec.decode(jpg)
+          (ref, jpg.length, w, h)
+        }
+        .toDF("media_ref", "jpeg_bytes", "width", "height")
+        .orderBy(col("media_ref"))
+    }),
+
     "x14_scope_page_summary_ocr" -> ((s, dir) => {
       // the OCR-content variant (rows-only): full pipeline -> page scope
       val docs = Corpus.documents(s, dir).toDF()

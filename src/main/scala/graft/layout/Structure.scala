@@ -5,9 +5,10 @@ import graft.img.{ConnectedComponents, ImageOps}
 import graft.text.TextOps
 
 /** Document-structure records, mirroring the response shapes built in
-  * `analyze_document_structure` (`app.py:845-1007`). The base64 debug
-  * visualization (`app.py:947-960`) is intentionally dropped — it is
-  * a rendering artifact, not extraction semantics (SURVEY.md L9).
+  * `analyze_document_structure` (`app.py:845-1007`). The debug
+  * visualization (`app.py:871-960`) is produced by [[StructureAnalyzer
+  * .visualize]] as JPEG bytes (base64 is transport, not data — a
+  * binary column is the table form of `viz_base64`).
   */
 final case class Bounds(x: Int, y: Int, width: Int, height: Int)
 final case class SentenceRec(id: Int, text: String)
@@ -76,13 +77,7 @@ object StructureAnalyzer {
     val (withColumns, columns) =
       if (paragraphs.isEmpty) (Vector.empty[Paragraph], Vector.empty[ColumnGroup])
       else {
-        val xsSorted = paragraphs.map(_.bounds.x).sorted
-        val boundaries = scala.collection.mutable.ArrayBuffer(xsSorted.head)
-        var i = 1
-        while (i < xsSorted.length) {
-          if (xsSorted(i) - xsSorted(i - 1) > w * 0.1) boundaries += xsSorted(i)
-          i += 1
-        }
+        val boundaries = columnBoundaries(paragraphs.map(_.bounds.x).toVector, w)
         val cols = Array.fill(boundaries.length)(Vector.newBuilder[Int])
         val updated = paragraphs.map { p =>
           val x = p.bounds.x
@@ -110,5 +105,67 @@ object StructureAnalyzer {
     actions += SuggestedAction("read_full", "Read full text")
 
     DocStructure(withColumns, columns, withColumns.length, columns.length, actions.toVector)
+  }
+
+  /** L6 column boundaries: x-gaps > 10% of page width over sorted
+    * paragraph x positions (`app.py:916-927`) — shared by the analyzer
+    * and the visualization so the drawn lines are the assigned ones.
+    */
+  def columnBoundaries(xs: Seq[Int], w: Int): Vector[Int] = {
+    if (xs.isEmpty) return Vector.empty
+    val sorted = xs.sorted
+    val out = Vector.newBuilder[Int]
+    out += sorted.head
+    var i = 1
+    while (i < sorted.length) {
+      if (sorted(i) - sorted(i - 1) > w * 0.1) out += sorted(i)
+      i += 1
+    }
+    out.result()
+  }
+
+  /** L9 — the structure visualization (`app.py:871-960`): a copy of
+    * the page with a 2px rectangle outline around every kept paragraph
+    * (`cv2.rectangle(..., (0,255,0), 2)` at `app.py:914`) and a 1px
+    * vertical line at each paragraph's assigned column boundary
+    * (`cv2.line(..., (0,0,255), 1)` at `app.py:946`), JPEG-encoded
+    * like the `cv2.imwrite(...jpg)` + base64 step. On our grayscale
+    * pages the overlay colors land at their BT.601 grays: pure green
+    * -> 150, pure red -> 76.
+    */
+  final val RectGray = 150 // BT.601 of (0,255,0)
+  final val LineGray = 76 // BT.601 of (0,0,255)
+
+  def visualize(bytes: Array[Byte], structure: DocStructure): Array[Byte] = {
+    val (w, h, gray) = graft.img.ImageCodec.decode(bytes)
+    val px = gray.clone()
+    def set(x: Int, y: Int, v: Int): Unit =
+      if (x >= 0 && x < w && y >= 0 && y < h) px(y * w + x) = v
+    structure.paragraphs.foreach { p =>
+      val b = p.bounds
+      var t = 0
+      while (t < 2) { // thickness 2, outward like cv2
+        var x = b.x - t
+        while (x <= b.x + b.width + t) {
+          set(x, b.y - t, RectGray); set(x, b.y + b.height + t, RectGray)
+          x += 1
+        }
+        var y = b.y - t
+        while (y <= b.y + b.height + t) {
+          set(b.x - t, y, RectGray); set(b.x + b.width + t, y, RectGray)
+          y += 1
+        }
+        t += 1
+      }
+    }
+    if (structure.paragraphs.nonEmpty) {
+      val bs = columnBoundaries(structure.paragraphs.map(_.bounds.x), w)
+      structure.paragraphs.foreach { p =>
+        val bx = bs(p.column)
+        var y = 0
+        while (y < h) { set(bx, y, LineGray); y += 1 }
+      }
+    }
+    graft.img.ImageCodec.encodeJpeg(w, h, px)
   }
 }

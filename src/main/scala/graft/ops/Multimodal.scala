@@ -38,6 +38,7 @@ object Multimodal {
 
   private val VID_MAGIC = Array[Byte]('G', 'V', 'I', 'D')
   private val AUD_MAGIC = Array[Byte]('G', 'A', 'U', 'D')
+  private val PDF_MAGIC = Array[Byte]('G', 'P', 'D', 'F')
 
   private def i32(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
@@ -63,6 +64,39 @@ object Multimodal {
       out.write(frame, 0, frame.length)
     }
     out.toByteArray
+  }
+
+  /** Multi-page document container — the PDF stand-in (the reference
+    * rasterizes PDFs with pdf2image and OCRs page by page,
+    * `app.py:744-792`): [magic 'GPDF'][n_pages:int32][per page:
+    * len:int32 + raster bytes]. Pages carry the given texts.
+    */
+  def synthPdf(texts: Seq[String], seed: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PDF_MAGIC, 0, 4)
+    putI32(out, texts.length)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val page = SynthRaster.render(t, Det.at(seed, i.toLong))
+      putI32(out, page.length)
+      out.write(page, 0, page.length)
+    }
+    out.toByteArray
+  }
+
+  /** Pages of a 'GPDF' container (raster bytes, in order). */
+  def pdfPages(bytes: Array[Byte]): Vector[Array[Byte]] = {
+    require(kindOf(bytes) == "pdf", "not a pdf container")
+    val n = i32(bytes, 4)
+    var off = 8
+    val out = Vector.newBuilder[Array[Byte]]
+    var p = 0
+    while (p < n) {
+      val len = i32(bytes, off)
+      out += bytes.slice(off + 4, off + 4 + len)
+      off += 4 + len
+      p += 1
+    }
+    out.result()
   }
 
   /** nSamples = 0 draws the count from the Det stream; an explicit
@@ -94,9 +128,14 @@ object Multimodal {
   def kindOf(bytes: Array[Byte]): String =
     if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'V') "video"
     else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'A') "audio"
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'P') "pdf"
     else "image"
 
   def metaOf(ref: String, bytes: Array[Byte]): MediaMeta = kindOf(bytes) match {
+    case "pdf" =>
+      val n = i32(bytes, 4)
+      val (w, h, _) = SynthRaster.parse(bytes.slice(12, 12 + i32(bytes, 8)))
+      MediaMeta(ref, "pdf", w, h, n, 0, 0, bytes.length.toLong)
     case "video" =>
       val n = i32(bytes, 4)
       // first frame carries the dimensions

@@ -76,6 +76,26 @@ object ExtractJob {
     case _ => "standard"
   }
 
+  /** One media item -> (text, confidence). Single images go straight
+    * to the engine; multi-page 'GPDF' containers (the PDF flow,
+    * `app.py:744-792`) OCR page by page, join page texts with "\n\n"
+    * (`app.py:791`) and average the POSITIVE page confidences
+    * (`app.py:757-792`) — S4/S5/S6: page count, per-page rasterized
+    * decode, and the whole-document fallback shape.
+    */
+  def decodeMedia(engine: graft.ocr.OcrEngine, bytes: Array[Byte],
+                  quality: String, ocrMode: String): (String, Double) =
+    if (graft.ops.Multimodal.kindOf(bytes) == "pdf") {
+      val results = graft.ops.Multimodal.pdfPages(bytes)
+        .map(engine.decode(_, quality, ocrMode))
+      val pos = results.map(_.avgConfidence).filter(_ > 0)
+      (results.map(_.text).mkString("\n\n"),
+        if (pos.nonEmpty) pos.sum / pos.size else 0.0)
+    } else {
+      val d = engine.decode(bytes, quality, ocrMode)
+      (d.text, d.avgConfidence)
+    }
+
   /** Per-span extraction: returns
     * spans(doc_id, kind, text, media_ref, offset, confidence).
     */
@@ -153,8 +173,8 @@ object ExtractJob {
         val memo = scala.collection.mutable.HashMap.empty[String, OcrRow]
         it.map { case (ref, bytes, h) =>
           val r = memo.getOrElseUpdate(h, {
-            val d = engine.decode(bytes, quality, ocrMode)
-            OcrRow(h, d.text, d.avgConfidence)
+            val (text, conf) = decodeMedia(engine, bytes, quality, ocrMode)
+            OcrRow(h, text, conf)
           })
           RefOcr(ref, r.ocr_text, r.ocr_conf)
         }

@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
 object StructureJob {
 
   final case class StructureRow(media_ref: String, structure: DocStructure)
+  final case class VizRow(media_ref: String, viz_jpeg: Array[Byte])
 
   def run(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
@@ -26,6 +27,25 @@ object StructureJob {
           val s = StructureAnalyzer.analyze(bytes,
             (roi, w, h) => graft.ocr.OcrEngine.decodeRoi(roi, w, h))
           StructureRow(ref, s)
+        }
+      }
+      .toDF()
+  }
+
+  /** L9 visualization as a batch operator: one JPEG per media page with
+    * paragraph rectangles + column lines drawn (`app.py:871-960`).
+    * Same kernel shape as [[run]]; emit alongside or join on media_ref.
+    */
+  def visualizations(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media
+      .select($"media_ref", $"bytes")
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (ref, bytes) =>
+          val s = StructureAnalyzer.analyze(bytes,
+            (roi, w, h) => graft.ocr.OcrEngine.decodeRoi(roi, w, h))
+          VizRow(ref, StructureAnalyzer.visualize(bytes, s))
         }
       }
       .toDF()

@@ -100,4 +100,32 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("width") > 0).collect()
     assert(resized.forall(r => r.getInt(2) <= 100 && r.getInt(3) <= 100))
   }
+
+  test("GPDF multi-page container: per-page OCR, \\n\\n join, positive-conf mean (app.py:744-792)") {
+    val texts = Seq("spark scan merge", "join table 42", "")
+    val pdf = Multimodal.synthPdf(texts, seed = 77L)
+    assert(Multimodal.kindOf(pdf) == "pdf")
+    val meta = Multimodal.metaOf("p", pdf)
+    assert(meta.kind == "pdf" && meta.n_frames == 3)
+    val engine = graft.ocr.EnginePool.get("balanced")
+    val (text, conf) = graft.pipe.ExtractJob.decodeMedia(engine, pdf, "medium", "standard")
+    assert(text == texts.map(SynthRaster.groundTruth).mkString("\n\n"),
+      s"pdf text mismatch: [$text]")
+    // page 3 is blank (conf 0) — excluded from the mean
+    val perPage = Multimodal.pdfPages(pdf).map(p => engine.decode(p).avgConfidence)
+    val expected = perPage.filter(_ > 0)
+    assert(math.abs(conf - expected.sum / expected.size) < 1e-9)
+    assert(perPage.last == 0.0)
+  }
+
+  test("extract pipeline reads pdf media spans end-to-end") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq(("pdf-0", Multimodal.synthPdf(Seq("alpha page", "beta page"), 5L))).toDF("media_ref", "bytes")
+    val docs = Seq(graft.gen.InDoc("pd-0", Seq(graft.gen.InSpan("media", "", "pdf-0", 0)))).toDS().toDF()
+    val out = graft.pipe.ExtractJob.run(spark2, docs, media).collect()
+    assert(out.length == 1)
+    val text = out(0).getString(out(0).fieldIndex("text"))
+    assert(text == Seq("alpha page", "beta page").map(SynthRaster.groundTruth).mkString("\n\n"))
+  }
 }

@@ -90,4 +90,27 @@ class StructureSpec extends AnyFunSuite {
     val s = StructureAnalyzer.analyze(bytes, roi)
     assert(s.total_paragraphs == 0 && s.total_columns == 0)
   }
+
+  test("L9 visualization: paragraph rectangles and column lines drawn, JPEG round-trips") {
+    val w = 100; val h = 100
+    val px = page(w, h, Seq((10, 20, 5, 7), (60, 20, 5, 7))) // two columns (gap 50 > 10%)
+    val bytes = SynthRaster.toBytes(w, h, px)
+    val struct = StructureAnalyzer.analyzeGray(px, w, h, (_, _, _) => "text.")
+    assert(struct.total_paragraphs == 2 && struct.total_columns == 2)
+    val viz = StructureAnalyzer.visualize(bytes, struct)
+    assert(graft.img.ImageCodec.isCompressedImage(viz), "visualization must be a JPEG")
+    val (vw, vh, vpx) = graft.img.ImageCodec.decode(viz)
+    assert((vw, vh) == (w, h))
+    def near(a: Int, b: Int, tol: Int) = math.abs(a - b) <= tol
+    // top edge of paragraph 1's rectangle (JPEG is lossy: generous tol)
+    assert(near(vpx(19 * w + 12), StructureAnalyzer.RectGray, 40),
+      s"rect pixel ${vpx(19 * w + 12)} !~ ${StructureAnalyzer.RectGray}")
+    // column line at boundary x=10, sampled well below the paragraphs
+    assert(near(vpx(90 * w + 10), StructureAnalyzer.LineGray, 40),
+      s"line pixel ${vpx(90 * w + 10)} !~ ${StructureAnalyzer.LineGray}")
+    // untouched paper stays paper-ish
+    assert(near(vpx(90 * w + 40), 230, 40), s"paper pixel ${vpx(90 * w + 40)} !~ 230")
+    // and the ink interior stays ink-ish
+    assert(near(vpx(23 * w + 12), 20, 45), s"ink pixel ${vpx(23 * w + 12)} !~ 20")
+  }
 }
