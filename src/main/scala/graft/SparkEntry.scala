@@ -227,6 +227,37 @@ object SparkEntry {
         .orderBy(col("y"), col("m"))
     }),
 
+    "q21_percentiles" -> ((s, dir) => {
+      // exact interpolated percentiles (SURVEY §2.8 ranking/percentile)
+      s.read.parquet(p(dir, "lineitem"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50_qty"),
+          round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q22_pivot" -> ((s, dir) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      s.read.parquet(p(dir, "orders"))
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .pivot("o_orderpriority", prios)
+        .agg(round(sum(col("o_totalprice")), 2))
+        .orderBy(col("y"))
+    }),
+
+    "q23_stats_agg" -> ((s, dir) => {
+      s.read.parquet(p(dir, "lineitem"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---------------- pipeline / kernel (rows-only checks) ----------------
     "x01_extract_spans" -> ((s, dir) => {
       val docs = Corpus.documents(s, dir).toDF()
@@ -627,6 +658,30 @@ object SparkEntry {
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
         |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q21_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q22_pivot" ->
+      """SELECT year(o_orderdate) AS y,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS "1-URGENT",
+        |  round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS "2-HIGH",
+        |  round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS "3-MEDIUM",
+        |  round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS "4-NOT SPECIFIED",
+        |  round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS "5-LOW"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q23_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x08_ngram_jaccard" ->
       """WITH t AS (

@@ -38,6 +38,22 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup: keep the first occurrence per normalized
+    * content fingerprint with BOUNDED state —
+    * `dropDuplicatesWithinWatermark` expires fingerprints once the
+    * event-time watermark passes them (the streaming form of
+    * [[graft.ops.Dedup.exact]], and the principled analog of the
+    * reference's TTL'd OCR cache, `app2.py:120-161`: entries are
+    * remembered exactly as long as a duplicate could still arrive).
+    */
+  def dedupStreaming(docs: DataFrame, textCol: String = "text",
+                     horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("h", graft.ops.Dedup.fingerprint(col(textCol)))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("h")
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, n_events: Long, total_value: Double,
                               first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)

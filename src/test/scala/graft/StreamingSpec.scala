@@ -55,4 +55,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1(1).getLong(1) == 2L && u1(1).getDouble(2) == 12.0) // burst 2: 4+8
     assert(u2.length == 1 && u2(0).getLong(1) == 1L && u2(0).getDouble(2) == 16.0)
   }
+
+  test("streaming dedup: one survivor per fingerprint, set equals batch exact dedup") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000)
+    val docs = Seq(
+      (1L, ts(0), "Hello  World"), (2L, ts(1), "hello world"), // dups (normalized)
+      (3L, ts(2), "something else"), (4L, ts(3), "HELLO\nWORLD"),
+      (5L, ts(4), "third thing")).toDF("doc_id", "ts", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup")
+    docs.repartition(1).write.mode("overwrite").parquet(s"$dir/in")
+
+    val src = spark.readStream.schema(docs.schema).parquet(s"$dir/in")
+    val q = graft.streaming.StreamingJobs.dedupStreaming(src)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql("SELECT h FROM sdedup").collect().map(_.getString(0)).toSet
+    val batch = graft.ops.Dedup.exact(docs).collect().map(_.getString(0)).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    assert(streamed.size == 3)
+  }
 }
