@@ -293,6 +293,7 @@ object Bench {
         s""""docs_per_sec_n":${f"$tpN%.2f"},"docs_per_sec_4n":${f"$tp4%.2f"},""" +
         s""""scaling_efficiency":${f"$eff%.3f"},""" +
         s""""calibration_pure_compute_eff":${f"$calibEff%.3f"},""" +
+        s""""efficiency_vs_host_ceiling":${f"${if (calibEff > 0) eff / calibEff else 0.0}%.3f"},""" +
         s""""calib_sec_n":${f"$calibN%.2f"},"calib_sec_4n":${f"$calib4%.2f"},""" +
         s""""pairs":$pairsJson,""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
