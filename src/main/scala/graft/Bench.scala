@@ -268,7 +268,11 @@ object Bench {
     s4.sparkContext.setLogLevel("WARN")
     val head = Seq("x01_extract_spans", "x02_extract_docs")
     val ordered = head ++ SparkEntry.queries.keys.toSeq.filterNot(head.contains).sorted
-    val deadline = System.nanoTime() + 150L * 1000000000L
+    // adaptive sweep budget: the whole bench must fit the driver's
+    // window even when a loaded host stretched the pairs — never less
+    // than 60s (x01/x02 always run), never more than 150s
+    val sweepBudgetS = math.max(60L, math.min(150L, 420L - elapsedS))
+    val deadline = System.nanoTime() + sweepBudgetS * 1000000000L
     val queryTimes = ordered.map { name =>
       val fn = SparkEntry.queries(name)
       if (noSweep || (!head.contains(name) && System.nanoTime() > deadline)) name -> -2.0
