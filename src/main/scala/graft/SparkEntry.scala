@@ -380,6 +380,18 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("page"))
     }),
 
+    "x17_ivf_ann" -> ((s, dir) => {
+      // trained-codebook ANN over the embeddings table (rows-only: the
+      // index is approximate by contract; exactness vs brute force is
+      // spec-covered on planted clusters)
+      val emb = s.read.parquet(p(dir, "embeddings"))
+      val dim = embDim(s, dir)
+      val codebook = Similarity.trainIvf(emb, dim, nCentroids = 16, iters = 2)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), dim, codebook,
+        k = 5, nProbe = 2)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     "x16_pdf_extract" -> ((s, dir) => {
       // S4/S5/S6 — multi-page pdf-analog containers through the full
       // pipeline (rows-only: page text is OCR output)

@@ -5,13 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Two paths, per the scale playbook:
+  * Three paths, per the scale playbook:
   *  - brute-force cosine top-k — exact, one pass, fine when the query
   *    set is small (broadcast) even at huge corpus size;
-  *  - random-hyperplane LSH buckets — the scale path: candidates only
-  *    meet within a bucket, turning the quadratic all-pairs into a
-  *    per-bucket join (IVF-style routing without a trained codebook,
-  *    so it stays deterministic).
+  *  - random-hyperplane LSH buckets with multi-probe — the untrained
+  *    scale path: candidates only meet within a bucket, turning the
+  *    quadratic all-pairs into a per-bucket join;
+  *  - IVF with a deterministically trained k-means codebook — the
+  *    trained scale path: vectors route to their nearest centroid,
+  *    queries probe nProbe centroid buckets.
   *
   * Dot products are `aggregate(zip_with(...))` column expressions:
   * whole-stage codegen, no UDF.
@@ -38,6 +40,94 @@ object Similarity {
       .select(col(idCol), round(cosine(col(vecCol), q), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
+  }
+
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the trained-codebook scale path beside
+  // the LSH one: a small k-means codebook routes vectors to centroid
+  // buckets; queries probe their nProbe nearest centroids. The
+  // codebook is tiny by design (it IS the broadcast side); training
+  // is Lloyd iterations as DataFrame aggregations, deterministic
+  // (seeded init, no RNG), so the index is reproducible.
+  // ------------------------------------------------------------------
+
+  /** Squared-distance rank term to a centroid literal: |v-c|^2 =
+    * |v|^2 - 2 v.c + |c|^2; |v|^2 is constant per row, dropped.
+    */
+  private def distRank(vec: Column, c: Array[Double]): Column = {
+    val cLit = array(c.map(lit(_)): _*)
+    val c2 = c.map(x => x * x).sum
+    lit(c2) - lit(2.0) * dot(vec, cLit)
+  }
+
+  /** Nearest-centroid id for a vector column: position of the minimum
+    * in the per-centroid distance array (first minimum wins — ties
+    * break to the lower centroid id, deterministic).
+    */
+  def nearestCentroid(vec: Column, codebook: Array[Array[Double]]): Column = {
+    val dists = array(codebook.map(c => distRank(vec, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Train a deterministic IVF codebook: init = the `nCentroids`
+    * vectors FIRST IN HASH ORDER of their id — a deterministic
+    * pseudo-random sample spread across the corpus (taking the
+    * smallest ids would stack centroids inside whatever happens to
+    * come first), then `iters` Lloyd rounds, each one distributed
+    * aggregation (posexplode to (cluster, dim) cells, mean per cell).
+    * Empty clusters keep their previous centroid.
+    */
+  def trainIvf(embeddings: DataFrame, dim: Int, nCentroids: Int, iters: Int = 2,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    var codebook: Array[Array[Double]] = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(nCentroids)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = embeddings
+        .select(nearestCentroid(col(vecCol), codebook).as("cl"),
+          posexplode(col(vecCol)))
+      val means = assigned
+        .groupBy(col("cl"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val next = codebook.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      codebook = next
+      it += 1
+    }
+    codebook
+  }
+
+  /** IVF ANN top-k: vectors bucketed by nearest centroid; each query
+    * probes its `nProbe` nearest centroids (standard IVF search). The
+    * codebook is a plan literal — broadcast by construction; the only
+    * shuffle is the bucket join.
+    */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, dim: Int,
+              codebook: Array[Array[Double]], k: Int = 10, nProbe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val emb = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cl", nearestCentroid(col("v"), codebook))
+    val probes = math.max(1, math.min(nProbe, codebook.length))
+    // nProbe nearest centroids per query: sort the (dist, id) structs,
+    // slice, explode
+    val ranked = sort_array(array(codebook.zipWithIndex.map { case (c, i) =>
+      struct(distRank(col("qv"), c).as("d"), lit(i).as("i"))
+    }: _*))
+    val qs = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("cl", explode(transform(slice(ranked, 1, probes), x => x("i"))))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    qs.join(emb, Seq("cl"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("sim", round(cosine(col("qv"), col("v")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("id"), col("sim"), col("rn"))
   }
 
   /** Deterministic pseudo-random hyperplane p (components in

@@ -214,4 +214,40 @@ class DedupSpec extends AnyFunSuite {
       assert(sims.sameElements(sims.sorted.reverse)) // rank order = sim desc
     }
   }
+
+  test("IVF ANN: recall@10 >= 0.9 on planted clusters; probing more centroids helps") {
+    val dim = 64
+    val emb = clustered(nClusters = 40, perCluster = 12, dim = dim, noise = 0.08)
+    val codebook = Similarity.trainIvf(emb, dim, nCentroids = 32, iters = 2)
+    assert(codebook.length == 32 && codebook.forall(_.length == dim))
+    val qids = (0 until 8).map(c => (c * 12).toLong)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+    val ivf = Similarity.ivfTopK(emb, queries, dim, codebook, k = 10, nProbe = 2)
+      .collect()
+      .groupBy(_.getAs[Number](0).longValue)
+      .map { case (q, rows) => q -> rows.map(_.getAs[Number](1).longValue).toSet }
+    val vecs = emb.collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val recalls = qids.map { q =>
+      val truth = vecs.toSeq.filter(_._1 != q)
+        .sortBy { case (id, v) => (-cos(vecs(q), v), id) }
+        .take(10).map(_._1).toSet
+      truth.intersect(ivf.getOrElse(q, Set.empty)).size / 10.0
+    }
+    val mean = recalls.sum / qids.size
+    assert(mean >= 0.9, s"IVF mean recall@10 $mean < 0.9 (per-query: $recalls)")
+    // a deterministic codebook -> deterministic index
+    val codebook2 = Similarity.trainIvf(emb, dim, nCentroids = 32, iters = 2)
+    assert(codebook.zip(codebook2).forall { case (a, b) => a.sameElements(b) })
+    // more probes, more candidates
+    val h1 = Similarity.ivfTopK(emb, queries, dim, codebook, k = 10, nProbe = 1).count()
+    val h4 = Similarity.ivfTopK(emb, queries, dim, codebook, k = 10, nProbe = 4).count()
+    assert(h4 >= h1)
+  }
 }
