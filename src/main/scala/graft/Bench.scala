@@ -224,26 +224,38 @@ object Bench {
     def elapsedS: Long = (System.nanoTime() - benchStart) / 1000000000L
     val pairs = scala.collection.mutable.ArrayBuffer.empty[Pair]
     var i = 0
-    while (i < maxPairs && (i < 2 || elapsedS < pairBudgetS)) {
-      val load = loadAvg1m()
-      val (steal0, total0) = cpuStat()
-      val (docsN, secN, cpuN) = srvN.run()
-      val (_, sec4, cpu4) = srv4.run()
-      val (steal1, total1) = cpuStat()
-      val stealPct =
-        if (total1 > total0) 100.0 * (steal1 - steal0) / (total1 - total0) else 0.0
-      pairs += Pair(secN, sec4, docsN, load, stealPct, cpuN, cpu4)
-      System.err.println(f"[bench] pair ${i + 1}: N=$secN%.1fs 4N=$sec4%.1fs " +
-        f"eff=${pairs.last.eff}%.3f load=$load%.2f steal=$stealPct%.1f%% " +
-        f"busyN=${pairs.last.busyN(smallCores)}%.2f busy4=${pairs.last.busy4(bigCores)}%.2f")
+    var serversAlive = true
+    while (serversAlive && i < maxPairs && (i < 2 || elapsedS < pairBudgetS)) {
+      // a dead child must cost the remaining pairs, never the round:
+      // report whatever pairs completed rather than crashing
+      try {
+        val load = loadAvg1m()
+        val (steal0, total0) = cpuStat()
+        val (docsN, secN, cpuN) = srvN.run()
+        val (_, sec4, cpu4) = srv4.run()
+        val (steal1, total1) = cpuStat()
+        val stealPct =
+          if (total1 > total0) 100.0 * (steal1 - steal0) / (total1 - total0) else 0.0
+        pairs += Pair(secN, sec4, docsN, load, stealPct, cpuN, cpu4)
+        System.err.println(f"[bench] pair ${i + 1}: N=$secN%.1fs 4N=$sec4%.1fs " +
+          f"eff=${pairs.last.eff}%.3f load=$load%.2f steal=$stealPct%.1f%% " +
+          f"busyN=${pairs.last.busyN(smallCores)}%.2f busy4=${pairs.last.busy4(bigCores)}%.2f")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] level server failed mid-pair: $e")
+          serversAlive = false
+      }
       i += 1
     }
+    if (pairs.isEmpty)
+      throw new RuntimeException("no measurement pair completed — see stderr")
     // calibration pair: the same two JVMs run a pure-codegen compute
     // job (no kernel, no shuffle, no I/O) — the box's raw Spark scaling
     // ceiling in this measurement window
-    val calibN = srvN.calib()
-    val calib4 = srv4.calib()
-    val calibEff = calibN / (4.0 * calib4)
+    val (calibN, calib4) =
+      try { val n = srvN.calib(); (n, srv4.calib()) }
+      catch { case _: Throwable => (-1.0, -1.0) }
+    val calibEff = if (calibN > 0 && calib4 > 0) calibN / (4.0 * calib4) else -1.0
     System.err.println(f"[bench] calib: N=$calibN%.2fs 4N=$calib4%.2fs eff=$calibEff%.3f")
     srvN.quit(); srv4.quit()
 

@@ -258,6 +258,21 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q24_window_frames" -> ((s, dir) => {
+      // lag/lead + running aggregate window frames (SURVEY §2.8)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      s.read.parquet(p(dir, "orders"))
+        .filter(col("o_custkey") <= 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+          round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+          round(sum(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // ---------------- pipeline / kernel (rows-only checks) ----------------
     "x01_extract_spans" -> ((s, dir) => {
       val docs = Corpus.documents(s, dir).toDF()
@@ -694,6 +709,17 @@ object SparkEntry {
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
         |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q24_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders WHERE o_custkey <= 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "x08_ngram_jaccard" ->
       """WITH t AS (
