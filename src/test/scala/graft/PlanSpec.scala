@@ -68,6 +68,46 @@ class PlanSpec extends AnyFunSuite {
     assert(textOnly.filter(col("kind") === "media").count() == 0)
   }
 
+  test("media branch plan: ONE media scan, kernel width pinned against AQE coalescing") {
+    // file-based media so scans are countable leaves
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-media").toString
+    Corpus.media(spark, sfDir).toDF().write.mode("overwrite").parquet(dir)
+    val docs = Corpus.documents(spark, sfDir).toDF()
+    val media = spark.read.parquet(dir)
+    val spans = ExtractJob.extractSpans(spark, docs, media)
+    val leaves = spans.queryExecution.optimizedPlan.collectLeaves()
+    val mediaScans = leaves.count(_.output.exists(_.name == "bytes"))
+    assert(mediaScans == 1,
+      s"the media table must be scanned exactly once (round-1 plan scanned it twice " +
+        s"for the ref->hash side); got $mediaScans scans")
+    val plan = spans.queryExecution.optimizedPlan.toString
+    assert(plan.contains("RepartitionByExpression [content_hash"),
+      s"kernel input must be pinned-width repartitioned by content_hash " +
+        s"(AQE byte-coalescing otherwise collapses the decode stage to one task):\n$plan")
+  }
+
+  test("resumable plan: summarizer UDF sits ABOVE the range exchange (sampling never re-runs it)") {
+    // mirror runResumable's plan construction (aggregate -> bucket ->
+    // range exchange -> finishing projection with the UDF)
+    val docs = Corpus.documents(spark, sfDir).toDF()
+    val media = Corpus.media(spark, sfDir).toDF()
+    val assembled = ExtractJob.assembleSpans(spark,
+        ExtractJob.extractSpans(spark, docs, media))
+      .withColumn("bucket", ExtractJob.bucketCol(8))
+      .repartitionByRange(8, col("bucket"), col("doc_id"))
+    val out = ExtractJob.finishDocs(spark, assembled)
+    val plan = out.queryExecution.optimizedPlan.toString
+    val udfAt = plan.indexOf("UDF")
+    val exchangeAt = plan.indexOf("RepartitionByExpression")
+    assert(udfAt >= 0, s"summarizer UDF missing from plan:\n$plan")
+    assert(exchangeAt >= 0, s"range exchange missing from plan:\n$plan")
+    // tree strings print parents first: the UDF projection must appear
+    // BEFORE (above) the exchange, i.e. it runs after the shuffle and
+    // range sampling only ever evaluates the cheap aggregate below
+    assert(udfAt < exchangeAt,
+      s"summarizer must sit above the range exchange (UDF@$udfAt vs exchange@$exchangeAt):\n$plan")
+  }
+
   test("OCR runs once per distinct content hash (cache semantics, C5/P1)") {
     // count kernel invocations via an accumulator-free proxy: the
     // distinct-content side row count equals distinct sha2 of media
