@@ -17,6 +17,12 @@ run / fork := true
 // "parsed": null). StdoutOutput inherits this JVM's streams instead.
 outputStrategy := Some(StdoutOutput)
 run / outputStrategy := Some(StdoutOutput)
+// ...and the metric JSON must be the LAST stdout line: sbt's
+// "[success] Total time: ..." trailer prints after the forked JVM
+// exits, and a driver that reads the last line gets the trailer
+// instead of the metric (BENCH_r02.json "parsed": null). Suppress it.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
