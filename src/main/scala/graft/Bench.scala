@@ -141,7 +141,8 @@ object Bench {
       if (l == null) throw new RuntimeException(s"benchone($cores) died before ready")
     }
 
-    private val re = """\[benchone\] cores=\d+ docs=(\d+) sec=([0-9.]+) cpu=([0-9.]+)""".r
+    // cpu may be the -1.000 sentinel (non-com.sun.management MXBean)
+    private val re = """\[benchone\] cores=\d+ docs=(\d+) sec=([0-9.]+) cpu=(-?[0-9.]+)""".r
 
     /** One measured run; returns (docs, wallSeconds, cpuSeconds). */
     def run(): (Long, Double, Double) = {
@@ -285,14 +286,43 @@ object Bench {
     // than 60s (x01/x02 always run), never more than 150s
     val sweepBudgetS = math.max(60L, math.min(150L, 420L - elapsedS))
     val deadline = System.nanoTime() + sweepBudgetS * 1000000000L
+    // per-query HARD cap (round-2 lesson: the deadline only gated query
+    // *starts*; one pathological query ran 151 s solo and blew the
+    // sweep budget). Each query runs on a future under its own job
+    // group; on timeout the group is cancelled (kills its running
+    // stages — local mode keeps burning CPU otherwise) and the query
+    // reports -3.0 ("timed out"; -2.0 stays "skipped", -1.0 "failed").
+    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val perQueryCapS = sys.env.getOrElse("GRAFT_QUERY_CAP_S", "45").toLong
     val queryTimes = ordered.map { name =>
       val fn = SparkEntry.queries(name)
       if (noSweep || (!head.contains(name) && System.nanoTime() > deadline)) name -> -2.0
       else {
         val t0 = System.nanoTime()
-        val ok = try { fn(s4, sfDir).count(); true } catch { case _: Throwable => false }
+        val group = s"q-$name"
+        val fut = Future {
+          s4.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          try { fn(s4, sfDir).count(); true }
+          finally s4.sparkContext.clearJobGroup()
+        }
+        val capS = if (head.contains(name)) math.max(perQueryCapS, 120L) else perQueryCapS
+        val outcome =
+          try Some(Await.result(fut, capS.seconds))
+          catch {
+            case _: TimeoutException =>
+              s4.sparkContext.cancelJobGroup(group)
+              fut.failed.foreach(_ => ()) // abandoned; swallow its late failure
+              None
+            case _: Throwable => Some(false)
+          }
         val dt = (System.nanoTime() - t0) / 1e9
-        name -> (if (ok) dt else -1.0)
+        name -> (outcome match {
+          case Some(true) => dt
+          case Some(false) => -1.0
+          case None => -3.0
+        })
       }
     }
     s4.stop()

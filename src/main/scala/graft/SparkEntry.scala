@@ -407,6 +407,40 @@ object SparkEntry {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    "x18_extract_text_spans" -> ((s, dir) => {
+      // the TEXT branch of the flagship extraction (S7 direct-text
+      // bypass: whitespace-collapse cleanup + the >50-chars=>90/else-70
+      // confidence rule, app.py:636-649) over a deterministic
+      // text-spans-only corpus — pure SQL, so the flagship pipeline's
+      // text slice gets a DuckDB oracle (the x13 pattern). Chunks are
+      // double-space-joined with pad spaces so the cleanup is
+      // observable, not an identity.
+      val docs = s.read.parquet(p(dir, "documents"))
+      val toks = filter(split(col("text"), "\\W+"), t => t =!= "")
+      val chunks = docs
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), floor((size(col("toks")) - 1) / lit(10)).cast("int")),
+          i => concat(lit(" "),
+            array_join(slice(col("toks"), i * 10 + 1, lit(10)), "  "), lit(" ")))))
+        .withColumnRenamed("pos", "offset").withColumnRenamed("col", "raw")
+      val spanDocs = chunks.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("offset"), col("raw")))).as("sp"))
+        .select(col("doc_id"), transform(col("sp"), x => struct(
+          lit("text").as("kind"), x("raw").as("text"),
+          lit("").as("media_ref"), x("offset").as("offset"))).as("spans"))
+      val emptyMedia = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("media_ref",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("bytes",
+            org.apache.spark.sql.types.BinaryType))))
+      ExtractJob.extractSpans(s, spanDocs, emptyMedia)
+        .orderBy(col("doc_id"), col("offset"))
+    }),
+
     "x16_pdf_extract" -> ((s, dir) => {
       // S4/S5/S6 — multi-page pdf-analog containers through the full
       // pipeline (rows-only: page text is OCR output)
@@ -764,6 +798,22 @@ object SparkEntry {
         |  FROM t, LATERAL unnest(generate_series(0, (len(toks)-1)//10)) u(i)
         |  WHERE len(toks) > 0)
         |SELECT doc_id, page, scope_text FROM c ORDER BY doc_id, page""".stripMargin,
+
+    "x18_extract_text_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, u.i AS "offset",
+        |         ' ' || array_to_string(toks[u.i*10+1 : u.i*10+10], '  ') || ' ' AS raw
+        |  FROM t, LATERAL unnest(generate_series(0, (len(toks)-1)//10)) u(i)
+        |  WHERE len(toks) > 0)
+        |SELECT doc_id, 'text' AS kind,
+        |       trim(regexp_replace(raw, '\s+', ' ', 'g')) AS text,
+        |       '' AS media_ref, "offset",
+        |       CASE WHEN len(trim(raw)) > 50 THEN 90.0::DOUBLE ELSE 70.0::DOUBLE END
+        |         AS confidence
+        |FROM c ORDER BY doc_id, "offset"""".stripMargin,
 
     "q17_summarize_sql" ->
       s"""WITH sents AS (

@@ -73,6 +73,27 @@ object GraftFunctions {
     org.apache.spark.sql.GraftBridge.toColumn(
       MinHashSig(org.apache.spark.sql.GraftBridge.toExpression(c), k))
 
+  def cosineSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      CosineSim(org.apache.spark.sql.GraftBridge.toExpression(a),
+        org.apache.spark.sql.GraftBridge.toExpression(b)))
+
+  def ivfProbes(v: Column, codebook: Array[Array[Double]], nProbe: Int): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      IvfProbes(org.apache.spark.sql.GraftBridge.toExpression(v), codebook, nProbe))
+
+  def planeDots(v: Column, planes: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      PlaneDots(org.apache.spark.sql.GraftBridge.toExpression(v), planes))
+
+  def shingleHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      ShingleHashes(org.apache.spark.sql.GraftBridge.toExpression(text), n))
+
+  def rhpBucket(v: Column, planes: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      RhpBucket(org.apache.spark.sql.GraftBridge.toExpression(v), planes))
+
   /** Register SQL names on a session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -43,27 +43,37 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
           s"graft_minhash expects ARRAY<BIGINT>, got ${other.sql}")
     }
 
-  /** pmod semantics for the affine transform: inputs are 31-bit
-    * non-negative, so a*h+b < 2^62 never overflows and the plain
-    * remainder is already non-negative.
+  /** pmod semantics for the affine transform via floorMod (identical
+    * to `%` on the 31-bit non-negative pipeline domain, and matching
+    * the twin's `pmod` for negative inputs). Null elements are SKIPPED
+    * — `array_min` in the twin ignores nulls — so an array of only
+    * nulls (or an empty array) yields the twin's all-null signature.
+    * Known divergence (documented): for |h| large enough that a*h+b
+    * overflows Long, the twin throws under ANSI mode while this
+    * expression wraps; 31-bit inputs (the [[graft.ops.Dedup]]
+    * contract) never get there.
     */
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n == 0) return new GenericArrayData(new Array[Any](k))
     val mins = Array.fill(k)(Long.MaxValue)
+    var seen = false
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < k) {
-        val v = (coefA(j) * h + coefB(j)) % PRIME
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = java.lang.Math.floorMod(coefA(j) * h + coefB(j), PRIME)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(mins.map(Long.box(_): Any))
+    if (!seen) new GenericArrayData(new Array[Any](k))
+    else new GenericArrayData(mins.map(Long.box(_): Any))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -77,19 +87,23 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
       val v = ctx.freshName("mhV")
       val n = ctx.freshName("mhN")
       val res = ctx.freshName("mhRes")
+      val seen = ctx.freshName("mhSeen")
       s"""
          |final int $n = $c.numElements();
          |Object[] $res = new Object[$k];
-         |if ($n > 0) {
-         |  long[] $mins = new long[$k];
-         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    long $h = $c.getLong($i);
-         |    for (int $j = 0; $j < $k; $j++) {
-         |      long $v = ($aRef[$j] * $h + $bRef[$j]) % ${PRIME}L;
-         |      if ($v < $mins[$j]) $mins[$j] = $v;
-         |    }
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $seen = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($c.isNullAt($i)) continue;
+         |  $seen = true;
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v = java.lang.Math.floorMod($aRef[$j] * $h + $bRef[$j], ${PRIME}L);
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
          |  }
+         |}
+         |if ($seen) {
          |  for (int $j = 0; $j < $k; $j++) $res[$j] = Long.valueOf($mins[$j]);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($res);

@@ -88,9 +88,14 @@ object Dedup {
     // shingle+minhash cost per row — without the pin the whole
     // signature stage runs as one task (measured: 6.5s single-task at
     // 8 cores). REPARTITION_BY_NUM is exempt from AQE coalescing.
+    // Shingling is the native fused kernel (the declarative
+    // shingleHashes(shingles(...)) twin below stays law-checked):
+    // nested higher-order transforms are interpreted per row and were
+    // the residual x04 cost in round 2.
     reps
       .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2, col("id"))
-      .withColumn("hashed", shingleHashes(shingles(col("__text"))))
+      .withColumn("hashed",
+        graft.functions.GraftFunctions.shingleHashes(col("__text"), 3))
       .select(col("id"),
         graft.functions.GraftFunctions.minhashSig(col("hashed"), k).as("sig"))
   }

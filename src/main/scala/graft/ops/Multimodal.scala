@@ -134,13 +134,21 @@ object Multimodal {
   def metaOf(ref: String, bytes: Array[Byte]): MediaMeta = kindOf(bytes) match {
     case "pdf" =>
       val n = i32(bytes, 4)
-      val (w, h, _) = SynthRaster.parse(bytes.slice(12, 12 + i32(bytes, 8)))
-      MediaMeta(ref, "pdf", w, h, n, 0, 0, bytes.length.toLong)
+      // a structurally valid zero-page container is 8 bytes — there is
+      // no first page record to read dimensions from
+      if (n <= 0 || bytes.length < 12) MediaMeta(ref, "pdf", 0, 0, 0, 0, 0, bytes.length.toLong)
+      else {
+        val (w, h, _) = SynthRaster.parse(bytes.slice(12, 12 + i32(bytes, 8)))
+        MediaMeta(ref, "pdf", w, h, n, 0, 0, bytes.length.toLong)
+      }
     case "video" =>
       val n = i32(bytes, 4)
-      // first frame carries the dimensions
-      val (w, h, _) = SynthRaster.parse(bytes.slice(12, 12 + i32(bytes, 8)))
-      MediaMeta(ref, "video", w, h, n, 0, 0, bytes.length.toLong)
+      if (n <= 0 || bytes.length < 12) MediaMeta(ref, "video", 0, 0, 0, 0, 0, bytes.length.toLong)
+      else {
+        // first frame carries the dimensions
+        val (w, h, _) = SynthRaster.parse(bytes.slice(12, 12 + i32(bytes, 8)))
+        MediaMeta(ref, "video", w, h, n, 0, 0, bytes.length.toLong)
+      }
     case "audio" =>
       MediaMeta(ref, "audio", 0, 0, 0, i32(bytes, 4), i32(bytes, 8), bytes.length.toLong)
     case _ =>

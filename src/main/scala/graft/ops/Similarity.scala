@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Three paths, per the scale playbook:
@@ -15,21 +17,30 @@ import org.apache.spark.sql.functions._
   *    trained scale path: vectors route to their nearest centroid,
   *    queries probe nProbe centroid buckets.
   *
-  * Dot products are `aggregate(zip_with(...))` column expressions:
-  * whole-stage codegen, no UDF.
+  * Hot-path vector math is native codegen ([[graft.functions.CosineSim]],
+  * [[graft.functions.IvfProbes]], [[graft.functions.PlaneDots]],
+  * [[graft.functions.RhpBucket]] — one fused loop per row). The
+  * `aggregate(zip_with(...))` higher-order forms below are kept as
+  * law-checked twins: HOFs are CodegenFallback (interpreted tree walk
+  * per row — measured 151 s for 2,000 dim-64 IVF assignments in round
+  * 2), so they must never sit on a per-row or per-candidate path.
   */
 object Similarity {
 
+  /** Law-checked HOF twin of the native kernels' dot loop — NOT for
+    * hot paths (interpreted; see class doc).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Law-checked HOF twin of [[GraftFunctions.cosineSim]]. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k most-similar vectors to one query vector (brute
-    * force). The query is a literal array -> broadcast by construction;
+    * force). The query is a plan literal -> broadcast by construction;
     * the scan is embarrassingly parallel, the only shuffle is the
     * final top-k (a single reduction).
     */
@@ -37,7 +48,7 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
     embeddings
-      .select(col(idCol), round(cosine(col(vecCol), q), 4).as("sim"))
+      .select(col(idCol), round(GraftFunctions.cosineSim(col(vecCol), q), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -47,12 +58,15 @@ object Similarity {
   // the LSH one: a small k-means codebook routes vectors to centroid
   // buckets; queries probe their nProbe nearest centroids. The
   // codebook is tiny by design (it IS the broadcast side); training
-  // is Lloyd iterations as DataFrame aggregations, deterministic
-  // (seeded init, no RNG), so the index is reproducible.
+  // is Lloyd iterations as DataFrame aggregations over a deterministic
+  // hash-ordered sample (seeded init, no RNG), so the index is
+  // reproducible.
   // ------------------------------------------------------------------
 
   /** Squared-distance rank term to a centroid literal: |v-c|^2 =
-    * |v|^2 - 2 v.c + |c|^2; |v|^2 is constant per row, dropped.
+    * |v|^2 - 2 v.c + |c|^2; |v|^2 is constant per row, dropped. HOF
+    * twin of the native kernel's distance loop (same accumulation
+    * order -> bit-identical ranks).
     */
   private def distRank(vec: Column, c: Array[Double]): Column = {
     val cLit = array(c.map(lit(_)): _*)
@@ -60,52 +74,84 @@ object Similarity {
     lit(c2) - lit(2.0) * dot(vec, cLit)
   }
 
-  /** Nearest-centroid id for a vector column: position of the minimum
-    * in the per-centroid distance array (first minimum wins — ties
-    * break to the lower centroid id, deterministic).
+  /** Law-checked HOF twin of the native [[nearestCentroid]] (first
+    * minimum wins — ties break to the lower centroid id).
     */
-  def nearestCentroid(vec: Column, codebook: Array[Array[Double]]): Column = {
+  def nearestCentroidHof(vec: Column, codebook: Array[Array[Double]]): Column = {
     val dists = array(codebook.map(c => distRank(vec, c)): _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
-  /** Train a deterministic IVF codebook: init = the `nCentroids`
-    * vectors FIRST IN HASH ORDER of their id — a deterministic
-    * pseudo-random sample spread across the corpus (taking the
-    * smallest ids would stack centroids inside whatever happens to
-    * come first), then `iters` Lloyd rounds, each one distributed
-    * aggregation (posexplode to (cluster, dim) cells, mean per cell).
-    * Empty clusters keep their previous centroid.
+  /** Nearest-centroid id for a vector column — native fused loop
+    * ([[graft.functions.IvfProbes]] with nProbe=1); ties to the lower
+    * centroid id, matching [[nearestCentroidHof]] exactly.
+    */
+  def nearestCentroid(vec: Column, codebook: Array[Array[Double]]): Column =
+    element_at(GraftFunctions.ivfProbes(vec, codebook, 1), 1)
+
+  /** Train a deterministic IVF codebook on a deterministic sample:
+    * the `sampleCap` vectors FIRST IN HASH ORDER of their id — a
+    * deterministic pseudo-random sample spread across the corpus
+    * (taking the smallest ids would stack centroids inside whatever
+    * happens to come first). Init = the first `nCentroids` of that
+    * sample (identical to full-corpus training whenever the corpus
+    * fits under the cap), then `iters` Lloyd rounds over the sample,
+    * each one distributed aggregation (posexplode to (cluster, dim)
+    * cells, mean per cell). Empty clusters keep their previous
+    * centroid.
+    *
+    * 10^12-scale contract (mirrors the LSH cap contract in
+    * [[Dedup]]): training never takes a full-corpus pass — k-means
+    * quality saturates long before 10^5 points per pass — and the
+    * corpus is assigned exactly once, by [[ivfTopK]], through the
+    * native single-loop expression. The per-round `.collect()` is
+    * k x dim cell means, never data rows.
     */
   def trainIvf(embeddings: DataFrame, dim: Int, nCentroids: Int, iters: Int = 2,
-               idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
-    var codebook: Array[Array[Double]] = embeddings
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               sampleCap: Int = 100000): Array[Array[Double]] = {
+    require(sampleCap >= nCentroids, "sampleCap must cover the centroid init")
+    // repartition after the top-k limit: a bare limit() funnels through
+    // one partition, which would serialize every Lloyd round to a
+    // single task; init re-sorts the persisted sample so the hash
+    // order survives the repartition
+    val sample = embeddings
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .orderBy(xxhash64(col("id")), col("id"))
-      .limit(nCentroids)
-      .collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    var it = 0
-    while (it < iters) {
-      val assigned = embeddings
-        .select(nearestCentroid(col(vecCol), codebook).as("cl"),
-          posexplode(col(vecCol)))
-      val means = assigned
-        .groupBy(col("cl"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+      .limit(sampleCap)
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+      .persist()
+    try {
+      var codebook: Array[Array[Double]] = sample
+        .orderBy(xxhash64(col("id")), col("id"))
+        .limit(nCentroids)
         .collect()
-      val next = codebook.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      codebook = next
-      it += 1
-    }
-    codebook
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      var it = 0
+      while (it < iters) {
+        val assigned = sample
+          .select(nearestCentroid(col("v"), codebook).as("cl"),
+            posexplode(col("v")))
+        val means = assigned
+          .groupBy(col("cl"), col("pos"))
+          .agg(avg(col("col")).as("m"))
+          .collect()
+        val next = codebook.map(_.clone())
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        codebook = next
+        it += 1
+      }
+      codebook
+    } finally sample.unpersist()
   }
 
   /** IVF ANN top-k: vectors bucketed by nearest centroid; each query
     * probes its `nProbe` nearest centroids (standard IVF search). The
-    * codebook is a plan literal — broadcast by construction; the only
-    * shuffle is the bucket join.
+    * codebook lives inside the native expression — broadcast by
+    * construction; the only shuffle is the bucket join. One
+    * centroid-scoring projection per side: the corpus side assigns
+    * (nProbe=1), the query side ranks its probes in the same fused
+    * loop that computes the distances.
     */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, dim: Int,
               codebook: Array[Array[Double]], k: Int = 10, nProbe: Int = 2,
@@ -113,38 +159,44 @@ object Similarity {
     val emb = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cl", nearestCentroid(col("v"), codebook))
     val probes = math.max(1, math.min(nProbe, codebook.length))
-    // nProbe nearest centroids per query: sort the (dist, id) structs,
-    // slice, explode
-    val ranked = sort_array(array(codebook.zipWithIndex.map { case (c, i) =>
-      struct(distRank(col("qv"), c).as("d"), lit(i).as("i"))
-    }: _*))
     val qs = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .withColumn("cl", explode(transform(slice(ranked, 1, probes), x => x("i"))))
+      .withColumn("cl", explode(GraftFunctions.ivfProbes(col("qv"), codebook, probes)))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     qs.join(emb, Seq("cl"))
       .filter(col("qid") =!= col("id"))
-      .withColumn("sim", round(cosine(col("qv"), col("v")), 4))
+      .withColumn("sim", round(GraftFunctions.cosineSim(col("qv"), col("v")), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("id"), col("sim"), col("rn"))
   }
 
-  /** Deterministic pseudo-random hyperplane p (components in
-    * [-0.5, 0.5), Det-keyed).
+  /** Deterministic pseudo-random hyperplanes (components in
+    * [-0.5, 0.5), Det-keyed) as a driver-side matrix — the constant
+    * side of the native [[graft.functions.PlaneDots]] /
+    * [[graft.functions.RhpBucket]] expressions.
     */
-  private def planeCol(p: Int, dim: Int): Column =
-    array((0 until dim).map { d =>
-      lit(graft.util.Det.double01(graft.util.Det.at(0xb00cL + p, d.toLong)) - 0.5)
-    }: _*)
+  private[graft] def planeMatrix(dim: Int, planes: Int): Array[Array[Double]] =
+    Array.tabulate(planes) { p =>
+      Array.tabulate(dim) { d =>
+        graft.util.Det.double01(graft.util.Det.at(0xb00cL + p, d.toLong)) - 0.5
+      }
+    }
+
+  /** Law-checked HOF twin of [[lshBucket]] (same Det planes). */
+  def lshBucketHof(vec: Column, dim: Int, planes: Int = 12): Column = {
+    val m = planeMatrix(dim, planes)
+    (0 until planes).map { p =>
+      val pl = array(m(p).map(lit(_)): _*)
+      when(dot(vec, pl) >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
 
   /** Sign-random-projection bucket id: `planes` deterministic
-    * hyperplanes; bit i = sign of dot(v, plane_i).
+    * hyperplanes; bit i = sign of dot(v, plane_i). Native fused loop.
     */
   def lshBucket(vec: Column, dim: Int, planes: Int = 12): Column =
-    (0 until planes).map { p =>
-      when(dot(vec, planeCol(p, dim)) >= 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
+    GraftFunctions.rhpBucket(vec, planeMatrix(dim, planes))
 
   /** ANN top-k via LSH buckets: queries join only their own bucket(s).
     * Returns per-query candidates ranked by cosine. Exactness is
@@ -158,16 +210,21 @@ object Similarity {
     * disjoint slices of the corpus, so candidates never duplicate;
     * recall grows with probes at probes× the candidate cost, without
     * re-hashing or extra tables.
+    *
+    * The per-plane projections are computed ONCE per query row by the
+    * native [[graft.functions.PlaneDots]] into a materialized column;
+    * bucket bits and flip margins both derive from that column with
+    * plain (codegen) array ops.
     */
   def annTopK(embeddings: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
               planes: Int = 12, probes: Int = 0,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = planeMatrix(dim, planes)
     val emb = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), dim, planes))
+      .withColumn("bucket", GraftFunctions.rhpBucket(col("v"), m))
     val masks = array((0 until planes).map(p => lit(1L << p)): _*)
     val qs0 = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .withColumn("__dots",
-        array((0 until planes).map(p => dot(col("qv"), planeCol(p, dim))): _*))
+      .withColumn("__dots", GraftFunctions.planeDots(col("qv"), m))
       .withColumn("__bucket",
         (0 until planes).map { p =>
           when(element_at(col("__dots"), p + 1) >= 0, lit(1L << p)).otherwise(lit(0L))
@@ -185,7 +242,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     qs.join(emb, Seq("bucket"))
       .filter(col("qid") =!= col("id"))
-      .withColumn("sim", round(cosine(col("qv"), col("v")), 4))
+      .withColumn("sim", round(GraftFunctions.cosineSim(col("qv"), col("v")), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("id"), col("sim"), col("rn"))

@@ -275,10 +275,14 @@ object ExtractJob {
   final case class RunSummary(docCount: Long, spanCount: Long, mediaCount: Long,
                               newBuckets: Int, inputSnapshotId: String)
 
-  /** Lineage id of the input table: the Iceberg snapshot-id when the
-    * plan exposes one; otherwise (parquet fallback / generated input)
-    * the sha-256 of the sorted input file listing, which changes iff
-    * the input files change. "inline" marks a purely in-memory input.
+  /** Lineage id of the input table: the sha-256 of the sorted input
+    * file listing, which changes iff the set of input files changes
+    * (an Iceberg deployment would swap in the table's snapshot-id
+    * here; the sandbox ships no Iceberg jar, so the file-listing hash
+    * is the implemented lineage key). "inline" marks a purely
+    * in-memory input. [[runResumable]] REFUSES to resume when the
+    * manifest was committed under a different id — resuming against
+    * changed input would silently mix buckets from two inputs.
     */
   def inputSnapshotId(docs: DataFrame): String = {
     val files = try docs.inputFiles.sorted catch { case _: Throwable => Array.empty[String] }
@@ -310,9 +314,19 @@ object ExtractJob {
     val dataPath = s"$outDir/extracted"
     val snapshotId = inputSnapshotId(docs)
 
-    val committed: Set[Int] =
-      try spark.read.parquet(manifestPath).select($"bucket").as[Int].collect().toSet
-      catch { case _: Throwable => Set.empty }
+    val (committed: Set[Int], priorSnapshots: Set[String]) =
+      try {
+        val m = spark.read.parquet(manifestPath)
+          .select($"bucket", $"input_snapshot_id").as[(Int, String)].collect()
+        (m.map(_._1).toSet, m.map(_._2).toSet)
+      } catch { case _: Throwable => (Set.empty[Int], Set.empty[String]) }
+    // lineage guard: a resumed run against changed input would mix
+    // buckets computed from two different inputs — fail loudly instead
+    if (priorSnapshots.nonEmpty && priorSnapshots != Set(snapshotId))
+      throw new IllegalStateException(
+        s"refusing to resume: manifest at $manifestPath was committed from input " +
+          s"snapshot(s) ${priorSnapshots.mkString(",")} but the current input is " +
+          s"$snapshotId — start a fresh outDir or re-point at the original input")
 
     val withBucket = docs.withColumn("bucket", bucketCol(cfg.outputBuckets))
     val pending = if (committed.isEmpty) withBucket
@@ -334,9 +348,12 @@ object ExtractJob {
         extractSpans(spark, pending.drop("bucket"), media, cfg))
       .withColumn("bucket", bucketCol(cfg.outputBuckets))
       .repartitionByRange(cfg.outputBuckets, col("bucket"), col("doc_id"))
+    // span_count is fed to the aggregate as an expression, NOT
+    // materialized as a column: the written parquet schema must stay
+    // identical to run()'s output (round-2 ADVICE — a derived metric
+    // column silently leaked into the committed output format).
     val out = finishDocs(spark, assembled)
-      .withColumn("span_count", size($"spans"))
-      .observe(obs, stats($"bucket", $"span_count", $"media_count", $"confidence")
+      .observe(obs, stats($"bucket", size($"spans"), $"media_count", $"confidence")
         .as("bucket_stats"))
 
     out.write

@@ -100,6 +100,110 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- native vector kernels (CosineSim / IvfProbes / PlaneDots / RhpBucket) ----
+
+  /** Deterministic float vectors, cluster-ish spread. */
+  private def vecDf(n: Int, dim: Int) = {
+    import org.apache.spark.sql.types._
+    val rows = (0 until n).map { i =>
+      org.apache.spark.sql.Row(i.toLong, Array.tabulate(dim)(d =>
+        (graft.util.Det.double01(graft.util.Det.at(0xabcL + i, d.toLong)) * 2 - 1).toFloat))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("id", LongType), StructField("v", ArrayType(FloatType)))))
+  }
+
+  test("CosineSim native == HOF twin bit-for-bit on float vectors (codegen on)") {
+    val df0 = vecDf(200, 16)
+    val a = df0.select(col("id"), col("v").as("a"))
+    val b = df0.select((col("id") + 100).as("id"), col("v").as("b"))
+    val df = a.join(b, "id").select(
+      GraftFunctions.cosineSim(col("a"), col("b")).as("native"),
+      graft.ops.Similarity.cosine(col("a"), col("b")).as("twin"))
+    val rows = df.collect()
+    assert(rows.length == 100)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"native ${r.getDouble(0)} != twin ${r.getDouble(1)}"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected codegen:\n$plan")
+  }
+
+  test("IvfProbes nProbe=1 == nearestCentroidHof; probe list ranked by distance") {
+    val cb = Array.tabulate(7)(c => Array.tabulate(16)(d =>
+      graft.util.Det.double01(graft.util.Det.at(0xcb00L + c, d.toLong)) * 2 - 1))
+    val df = vecDf(300, 16).select(
+      graft.ops.Similarity.nearestCentroid(col("v"), cb).as("native"),
+      graft.ops.Similarity.nearestCentroidHof(col("v"), cb).as("twin"),
+      GraftFunctions.ivfProbes(col("v"), cb, 7).as("allProbes"),
+      col("v"))
+    df.collect().foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), "assignment: native != HOF twin")
+      val probes = r.getSeq[Int](2)
+      assert(probes.length == 7 && probes.distinct.length == 7)
+      assert(probes.head == r.getInt(0), "probe[0] must be the assignment")
+      // ascending by true squared distance
+      val v = r.getSeq[Float](3).map(_.toDouble)
+      val d2 = (c: Int) => v.zip(cb(c)).map { case (x, y) => (x - y) * (x - y) }.sum
+      val ds = probes.map(d2)
+      assert(ds.zip(ds.tail).forall { case (x, y) => x <= y + 1e-9 }, s"not ascending: $ds")
+    }
+  }
+
+  test("RhpBucket native == lshBucketHof twin; PlaneDots == per-plane dot twin") {
+    val dim = 12
+    val m = graft.ops.Similarity.planeMatrix(dim, 8)
+    val df = vecDf(200, dim).select(
+      graft.ops.Similarity.lshBucket(col("v"), dim, 8).as("native"),
+      graft.ops.Similarity.lshBucketHof(col("v"), dim, 8).as("twin"),
+      GraftFunctions.planeDots(col("v"), m).as("dots"),
+      array((0 until 8).map(p =>
+        graft.ops.Similarity.dot(col("v"), array(m(p).map(lit(_)): _*))): _*).as("dotsTwin"))
+    df.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "bucket: native != HOF twin")
+      assert(r.getSeq[Double](2) == r.getSeq[Double](3), "plane dots: native != HOF twin")
+    }
+  }
+
+  test("CosineSim null-propagates and type check rejects non-vector input") {
+    import spark.implicits._
+    val r = vecDf(1, 4).select(
+      GraftFunctions.cosineSim(col("v"), lit(null).cast("array<float>"))).collect()(0)
+    assert(r.isNullAt(0))
+    val ex = intercept[Exception] {
+      Seq(1).toDF("i").select(GraftFunctions.cosineSim(col("i"), col("i"))).collect()
+    }
+    assert(ex.getMessage.contains("DATATYPE_MISMATCH") ||
+      ex.getMessage.toLowerCase.contains("array"))
+  }
+
+  test("ShingleHashes native == declarative shingleHashes(shingles(text)) twin") {
+    import spark.implicits._
+    val data = Seq(
+      "", "   ", "one", "one two", "one two three",
+      "Hello, World! hello world hello world again",
+      "a b c d e f g h i j",
+      "repeat repeat repeat repeat repeat",
+      "Ünïcödé ÖK foo bar baz — em-dash «quotes»",
+      "punct...runs!!!and??? more;;; tokens here now",
+      "MiXeD CaSe ToKeNs MiXeD CaSe ToKeNs tail")
+    val df = data.toDF("t").select(
+      col("t"),
+      GraftFunctions.shingleHashes(col("t"), 3).as("native"),
+      graft.ops.Dedup.shingleHashes(graft.ops.Dedup.shingles(col("t"), 3)).as("twin"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"shingle hashes diverge for '${r.getString(0)}': " +
+          s"native=${r.getSeq[Long](1)} twin=${r.getSeq[Long](2)}")
+    }
+    // and the downstream signature built from the native hashes matches
+    // the all-declarative signature
+    val sig = data.toDF("t").select(
+      GraftFunctions.minhashSig(GraftFunctions.shingleHashes(col("t"), 3), 16).as("native"),
+      graft.ops.Dedup.minhashSignature(
+        graft.ops.Dedup.shingleHashes(graft.ops.Dedup.shingles(col("t"), 3)), 16).as("twin"))
+    sig.collect().foreach(r => assert(r.getSeq[Any](0) == r.getSeq[Any](1)))
+  }
+
   test("SimHash64 agrees between codegen and interpreted paths on random token sets") {
     import spark.implicits._
     val df = spark.range(0, 2000, 1, 4)
