@@ -441,6 +441,35 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("offset"))
     }),
 
+    "x19_language_grid" -> ((s, dir) => {
+      // the language axis through the full extraction pipeline (the
+      // reference's `-l {language}`, app.py:579): pages rendered in
+      // each language decode EXACTLY under the matching engine
+      // (exact_match=true rows) and misread under a foreign table
+      // (exact_match=false rows) — deterministic, rows-only.
+      import s.implicits._
+      val texts = (0 until 6).map(i =>
+        s"language grid sample $i with words ${i * 7} and ${i * 13}")
+      val gt = texts.map(graft.codec.SynthRaster.groundTruth)
+      val cases = for (pageLang <- graft.codec.Glyphs.languages;
+                       engineLang <- graft.codec.Glyphs.languages) yield (pageLang, engineLang)
+      cases.map { case (pageLang, engineLang) =>
+        val media = s.createDataset(texts.indices.map(i =>
+          (f"lg-$i%02d", graft.codec.SynthRaster.render(
+            texts(i), seed = 500L + i, language = pageLang)))).toDF("media_ref", "bytes")
+        val docs = s.createDataset(texts.indices.map(i => graft.gen.InDoc(f"lgdoc-$i%02d",
+          Seq(graft.gen.InSpan("media", "", f"lg-$i%02d", 0))))).toDF()
+        val truth = s.createDataset(texts.indices.map(i => (f"lgdoc-$i%02d", gt(i))))
+          .toDF("doc_id", "truth")
+        ExtractJob.extractSpans(s, docs, media,
+            ExtractJob.Config(language = engineLang))
+          .join(truth, Seq("doc_id"))
+          .select(lit(pageLang).as("page_lang"), lit(engineLang).as("engine_lang"),
+            col("doc_id"), (col("text") === col("truth")).as("exact_match"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("page_lang"), col("engine_lang"), col("doc_id"))
+    }),
+
     "x16_pdf_extract" -> ((s, dir) => {
       // S4/S5/S6 — multi-page pdf-analog containers through the full
       // pipeline (rows-only: page text is OCR output)

@@ -37,8 +37,37 @@ object Glyphs {
     */
   private val blurTs = Array(165, 175, 185)
 
-  /** bit i set = ink at (x = i % W, y = i / W). */
-  val patterns: Array[Long] = build()
+  /** bit i set = ink at (x = i % W, y = i / W) — the default ("eng")
+    * font. Language models are per-language FONTS over the shared
+    * alphabet: the analog of tesseract's `-l {language}` traineddata
+    * (`app.py:579` threads `language` into every OCR call) — the same
+    * page decoded under a different language's tables yields different
+    * text, exactly like running an Indonesian model over an English
+    * scan. "eng" uses language seed 0, which leaves the original
+    * derivation untouched (x^0 = x), so default-language behavior is
+    * bit-identical to the pre-language engine.
+    */
+  val patterns: Array[Long] = build(0L)
+
+  /** The static language list — the S9 analog of the reference's
+    * supported-languages config (`app.py` language endpoint): each
+    * entry has a trained font.
+    */
+  val languageSeeds: Map[String, Long] = Map("eng" -> 0L, "ind" -> 0x1d0e51aL)
+  def languages: Seq[String] = languageSeeds.keys.toSeq.sorted
+
+  private val fonts = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  fonts.put("eng", patterns): Unit
+
+  /** Glyph patterns of a language's font. Unknown language = unknown
+    * traineddata: fail loudly, like tesseract would.
+    */
+  def fontFor(lang: String): Array[Long] = {
+    val seed = languageSeeds.getOrElse(lang,
+      throw new IllegalArgumentException(
+        s"unknown language '$lang' (supported: ${languages.mkString(",")})"))
+    fonts.computeIfAbsent(lang, _ => build(seed))
+  }
 
   private val charIndex: Array[Int] = {
     val a = Array.fill(128)(-1)
@@ -130,7 +159,7 @@ object Glyphs {
     }
   }
 
-  private def build(): Array[Long] = {
+  private def build(langSeed: Long): Array[Long] = {
     val out = new Array[Long](alphabet.length)
     val outBlurs = new Array[Array[Long]](alphabet.length)
     var i = 0
@@ -141,7 +170,7 @@ object Glyphs {
       // construction provably terminates even if thresholds are tight
       var bestCand = 0L; var bestBlurs: Array[Long] = null; var bestScore = -1
       while (!found && salt < 200000) {
-        val cand = candidate(Det.mix64(alphabet.charAt(i).toLong * 7919L, salt))
+        val cand = candidate(Det.mix64(alphabet.charAt(i).toLong * 7919L ^ langSeed, salt))
         val ink = popcount(cand)
         if (ink >= 10 && ink <= 26) {
           // cheap raw-distance gate first; blur forms only for survivors

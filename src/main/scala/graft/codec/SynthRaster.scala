@@ -82,9 +82,12 @@ object SynthRaster {
 
   /** Render text into raster bytes. `seed` keys the noise field;
     * `noise = false` renders the clean INK/PAPER constants (used for
-    * engine calibration pages).
+    * engine calibration pages). `language` selects the glyph font —
+    * the page is "printed in" that language's script.
     */
-  def render(text: String, seed: Long, noise: Boolean = true): Array[Byte] = {
+  def render(text: String, seed: Long, noise: Boolean = true,
+             language: String = "eng"): Array[Byte] = {
+    val font = Glyphs.fontFor(language)
     val lines = wrap(normalize(text))
     val rows = math.max(1, lines.length)
     val w = 2 * MARGIN + COLS * CELL_W
@@ -104,7 +107,7 @@ object SynthRaster {
       while (c < line.length) {
         val gi = Glyphs.indexOf(line.charAt(c))
         if (gi >= 0) {
-          val pat = Glyphs.patterns(gi)
+          val pat = font(gi)
           val x0 = MARGIN + c * CELL_W
           val y0 = MARGIN + r * CELL_H
           var b = 0

@@ -61,7 +61,8 @@ object OcrEngine {
     * or unmatchable crops return "" and the region is dropped upstream,
     * mirroring `if text.strip()`.
     */
-  def decodeRoi(gray: Array[Int], w: Int, h: Int): String = {
+  def decodeRoi(gray: Array[Int], w: Int, h: Int, language: String = "eng"): String = {
+    val font = Glyphs.fontFor(language)
     if (w > Glyphs.W || h > Glyphs.H) return "" // larger than a glyph: no text
     var mn = 255; var mx = 0
     var i = 0
@@ -91,8 +92,8 @@ object OcrEngine {
           y += 1
         }
         var g = 0
-        while (g < Glyphs.patterns.length) {
-          val d = Glyphs.popcount(mask ^ Glyphs.patterns(g))
+        while (g < font.length) {
+          val d = Glyphs.popcount(mask ^ font(g))
           if (d < bestD) { bestD = d; bestChar = Glyphs.alphabet.charAt(g) }
           g += 1
         }
@@ -119,13 +120,13 @@ object OcrEngine {
   * chain (balanced) thresholds locally; its templates are static and
   * matching relies on the font's >=12/35 pairwise distance margin.
   */
-final class OcrEngine(val mode: String) {
+final class OcrEngine(val mode: String, val language: String = "eng") {
   import OcrEngine._
 
   /** Blurred (pre-threshold) grayscale calibration cells per glyph. */
   private val calibGray: Array[Array[Int]] = {
     val calib = Glyphs.alphabet // 40 glyphs = exactly one line
-    val bytes = SynthRaster.render(calib, seed = 0L, noise = false)
+    val bytes = SynthRaster.render(calib, seed = 0L, noise = false, language)
     val (w, h, px0) = SynthRaster.parse(bytes)
     // zero the noise: re-render deterministically gives tiny jitter; the
     // calibration page uses seed 0 jitter which matching tolerates.
@@ -145,7 +146,7 @@ final class OcrEngine(val mode: String) {
 
   /** Static templates for the balanced (adaptive) chain. */
   private lazy val balancedTemplates: Array[Long] = {
-    val bytes = SynthRaster.render(Glyphs.alphabet, seed = 0L, noise = false)
+    val bytes = SynthRaster.render(Glyphs.alphabet, seed = 0L, noise = false, language)
     val (w, h, px) = SynthRaster.parse(bytes)
     val bin = preprocess(px, w, h, "balanced")
     Array.tabulate(Glyphs.alphabet.length)(gi => cellMask(bin, w, gi, 0))
@@ -325,6 +326,9 @@ final class OcrEngine(val mode: String) {
 object EnginePool {
   private val engines = new java.util.concurrent.ConcurrentHashMap[String, OcrEngine]()
 
-  def get(mode: String): OcrEngine =
-    engines.computeIfAbsent(mode, m => new OcrEngine(m))
+  /** One engine per (mode, language) — the mode x language decode-table
+    * grid, mirroring how a Tess4J pool holds one engine per traineddata.
+    */
+  def get(mode: String, language: String = "eng"): OcrEngine =
+    engines.computeIfAbsent(s"$mode|$language", _ => new OcrEngine(mode, language))
 }

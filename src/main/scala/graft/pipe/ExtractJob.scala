@@ -53,7 +53,8 @@ object ExtractJob {
       saltBuckets: Int = 8,
       outputBuckets: Int = 64,
       inputPartitions: Int = 0,
-      maxMediaBytes: Long = 16L * 1024 * 1024)
+      maxMediaBytes: Long = 16L * 1024 * 1024,
+      language: String = "eng")
 
   def preprocessModeFor(quality: String): String = quality match {
     // v2 quality -> preprocess chain (`app2.py:556-558`, `app2.py:1016-1017`):
@@ -162,6 +163,10 @@ object ExtractJob {
     val mode = preprocessModeFor(cfg.quality)
     val ocrMode = ocrModeFor(cfg.quality)
     val quality = cfg.quality
+    // the reference threads `language` into every OCR call
+    // (`-l {language}`, app.py:579); here it selects the per-executor
+    // engine's decode tables (mode x language grid in EnginePool)
+    val language = cfg.language
     val refOcr = media
       .filter(length($"bytes") <= cfg.maxMediaBytes)
       .join(neededRefs, Seq("media_ref"), "left_semi")
@@ -169,7 +174,7 @@ object ExtractJob {
       .repartition(nParts, $"content_hash")
       .as[(String, Array[Byte], String)]
       .mapPartitions { it =>
-        val engine = EnginePool.get(mode) // lazy per-executor engine pool
+        val engine = EnginePool.get(mode, language) // lazy per-executor engine pool
         val memo = scala.collection.mutable.HashMap.empty[String, OcrRow]
         it.map { case (ref, bytes, h) =>
           val r = memo.getOrElseUpdate(h, {

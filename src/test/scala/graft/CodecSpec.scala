@@ -52,6 +52,26 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("language axis: each engine reads its own language exactly; a foreign table misreads") {
+    val text = "the quick brown fox jumps over the lazy dog 0123456789"
+    val want = SynthRaster.groundTruth(text)
+    for (lang <- graft.codec.Glyphs.languages) {
+      // an engine over its own language's page: exact roundtrip
+      val page = SynthRaster.render(text, seed = 77L, language = lang)
+      val own = EnginePool.get("balanced", lang).decode(page)
+      assert(own.text == want, s"own-language roundtrip broke for $lang")
+    }
+    // the same eng page decoded under the ind tables: the engine picks
+    // nearest-ind glyphs — different text (the -l mismatch behavior)
+    val engPage = SynthRaster.render(text, seed = 77L, language = "eng")
+    val foreign = EnginePool.get("balanced", "ind").decode(engPage)
+    assert(foreign.text != want, "ind tables decoded an eng page as if native")
+    // default language is bit-stable: eng font IS the original table
+    assert(graft.codec.Glyphs.fontFor("eng").sameElements(graft.codec.Glyphs.patterns))
+    // unknown language = missing traineddata: loud failure
+    intercept[IllegalArgumentException](graft.codec.Glyphs.fontFor("xx"))
+  }
+
   for (ocrMode <- Seq("fast", "standard", "accurate");
        chain <- Seq("fast", "balanced", "quality", "default")) {
     test(s"engine mode $ocrMode keeps the roundtrip exact under chain=$chain") {
