@@ -470,6 +470,21 @@ object SparkEntry {
         .orderBy(col("page_lang"), col("engine_lang"), col("doc_id"))
     }),
 
+    "x20_embed_neardup" -> ((s, dir) => {
+      // embedding-cosine near-dup pairs (rows-only: LSH index is
+      // approximate by contract; recall is spec-asserted on planted
+      // clusters). The testdata embeddings are i.i.d. noise with no
+      // near-dups, so duplicates are planted: exact copies of the 10
+      // smallest vec_ids at id+1000000 — the operator must report
+      // exactly those pairs at cos ~1.0 and nothing cross-noise.
+      val emb = s.read.parquet(p(dir, "embeddings")).select(col("vec_id"), col("embedding"))
+      val dim = embDim(s, dir)
+      val planted = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.embeddingNearDups(emb.unionByName(planted), dim, threshold = 0.99)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "x16_pdf_extract" -> ((s, dir) => {
       // S4/S5/S6 — multi-page pdf-analog containers through the full
       // pipeline (rows-only: page text is OCR output)

@@ -198,6 +198,78 @@ object Similarity {
   def lshBucket(vec: Column, dim: Int, planes: Int = 12): Column =
     GraftFunctions.rhpBucket(vec, planeMatrix(dim, planes))
 
+  /** Embedding-cosine near-duplicate PAIRS (the vector-space sibling of
+    * [[Dedup.minhashLsh]]): banded sign-random-projection LSH — `bands`
+    * independent sets of `planesPerBand` hyperplanes; two vectors are
+    * candidates iff they share a full band bucket (all signs of one
+    * band agree), candidates are verified by exact cosine >= threshold
+    * and deduped. All per-row math is native codegen: ONE fused
+    * [[graft.functions.PlaneDots]] loop computes every band's
+    * projections; the verify is [[graft.functions.CosineSim]].
+    *
+    * Collision probability per band is (1 - theta/pi)^planesPerBand
+    * (theta = angle between the vectors), so bands x planesPerBand
+    * tunes the recall/cost curve exactly like MinHash banding. Scale
+    * contract mirrors minhashLsh: the (band, bucket) self-join is the
+    * only shuffle that matters; buckets above `maxBucket` are excluded
+    * from pairing — never silently (run [[embeddingOversizedBuckets]],
+    * the same index plan, to enumerate what was dropped).
+    */
+  def embeddingNearDups(embeddings: DataFrame, dim: Int, threshold: Double = 0.8,
+                        bands: Int = 4, planesPerBand: Int = 8,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        maxBucket: Long = 1L << 20): DataFrame = {
+    val banded = bandBuckets(embeddings, dim, bands, planesPerBand, idCol, vecCol)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
+    val capped = banded
+      .withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      // verify + threshold BEFORE the pair dedup, so the dedup shuffle
+      // moves (id, id, double) rows, not two dim-long vectors
+      .withColumn("cos", round(GraftFunctions.cosineSim(col("v_a"), col("v_b")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Audit companion of [[embeddingNearDups]]: the (band, bucket)
+    * groups larger than maxBucket — exactly the memberships the pairing
+    * excludes at the same maxBucket.
+    */
+  def embeddingOversizedBuckets(embeddings: DataFrame, dim: Int,
+                                bands: Int = 4, planesPerBand: Int = 8,
+                                idCol: String = "vec_id", vecCol: String = "embedding",
+                                maxBucket: Long = 1L << 20): DataFrame =
+    bandBuckets(embeddings, dim, bands, planesPerBand, idCol, vecCol)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucket)
+
+  /** (id, v, band, bucket) band memberships: one PlaneDots evaluation
+    * per row covers all bands; each band's bucket packs its slice of
+    * the sign bits.
+    */
+  private def bandBuckets(embeddings: DataFrame, dim: Int, bands: Int,
+                          planesPerBand: Int, idCol: String, vecCol: String): DataFrame = {
+    val m = planeMatrix(dim, bands * planesPerBand)
+    embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("__dots", GraftFunctions.planeDots(col("v"), m))
+      .select(col("id"), col("v"), posexplode(array((0 until bands).map { bnd =>
+        (0 until planesPerBand).map { p =>
+          when(element_at(col("__dots"), bnd * planesPerBand + p + 1) >= 0,
+            lit(1L << p)).otherwise(lit(0L))
+        }.reduce((x, y) => x.bitwiseOR(y))
+      }: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+  }
+
   /** ANN top-k via LSH buckets: queries join only their own bucket(s).
     * Returns per-query candidates ranked by cosine. Exactness is
     * traded for the bucket restriction (the standard ANN contract).

@@ -147,6 +147,34 @@ class DedupSpec extends AnyFunSuite {
     }.toDF("vec_id", "embedding")
   }
 
+  test("embedding near-dup pairs: finds planted same-cluster pairs, skips cross-cluster; cap audits") {
+    val dim = 32
+    // tight clusters: same-cluster cosine >> cross-cluster cosine
+    val emb = clustered(nClusters = 12, perCluster = 4, dim = dim, noise = 0.03)
+    val pairs = Similarity.embeddingNearDups(emb, dim, threshold = 0.9,
+      bands = 6, planesPerBand = 6).collect()
+    // every reported pair is same-cluster (verified cosine can't lie at 0.9)
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a / 4 == b / 4, s"cross-cluster pair ($a,$b) cos=${r.getDouble(2)}")
+      assert(r.getDouble(2) >= 0.9)
+    }
+    // recall: most same-cluster pairs collide in >=1 of 6 bands
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = for (c <- 0 until 12; i <- 0 until 4; j <- i + 1 until 4)
+      yield ((c * 4 + i).toLong, (c * 4 + j).toLong)
+    val recall = all.count(found).toDouble / all.size
+    assert(recall >= 0.8, s"near-dup recall $recall < 0.8 (${found.size}/${all.size})")
+    // flood cap: identical vectors all share every band bucket; the cap
+    // excludes them and the audit companion reports exactly those buckets
+    import spark.implicits._
+    val flood = (0L until 40L).map(i => (i, Seq.fill(dim)(1.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.embeddingNearDups(flood, dim, maxBucket = 10).count() == 0L)
+    val audited = Similarity.embeddingOversizedBuckets(flood, dim, maxBucket = 10)
+    assert(audited.count() == 4L) // one oversize bucket per band
+    assert(audited.collect().forall(_.getLong(2) == 40L))
+  }
+
   test("multi-probe ANN recall@10 >= 0.9 vs brute-force ground truth (planted clusters)") {
     val dim = 64
     val emb = clustered(nClusters = 40, perCluster = 12, dim = dim, noise = 0.08)
