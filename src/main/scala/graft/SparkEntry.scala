@@ -485,6 +485,22 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "x21_health" -> ((s, dir) => {
+      // S10 health probe: engine + pdf capability row, plus live
+      // manifest counters over a tiny committed run (rows-only; the
+      // status/languages/pdf_ok fields are deterministic)
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-health").toString
+      val docs = s.createDataset((0 until 8).map(i =>
+        graft.gen.InDoc(f"h-$i%02d", Seq(graft.gen.InSpan("text", s"health doc $i", "", 0))))).toDF()
+      val media = s.createDataset(Seq.empty[(String, Array[Byte])]).toDF("media_ref", "bytes")
+      graft.pipe.ExtractJob.runResumable(s, docs, media, tmp,
+        graft.pipe.ExtractJob.Config(outputBuckets = 4))
+      graft.pipe.Health.check(s, s"$tmp/manifest")
+        .select($"status", $"message", $"engine_version", $"languages", $"pdf_ok",
+          $"committed_buckets", $"committed_docs")
+    }),
+
     "x16_pdf_extract" -> ((s, dir) => {
       // S4/S5/S6 — multi-page pdf-analog containers through the full
       // pipeline (rows-only: page text is OCR output)

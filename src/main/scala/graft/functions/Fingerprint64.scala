@@ -94,6 +94,19 @@ object GraftFunctions {
     org.apache.spark.sql.GraftBridge.toColumn(
       RhpBucket(org.apache.spark.sql.GraftBridge.toExpression(v), planes))
 
+  def rhpProbes(v: Column, planes: Array[Array[Double]], probes: Int): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      RhpProbes(org.apache.spark.sql.GraftBridge.toExpression(v), planes, probes))
+
+  def sigBandKeys(sig: Column, bands: Int): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      SigBandKeys(org.apache.spark.sql.GraftBridge.toExpression(sig), bands))
+
+  def sigAgreement(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      SigAgreement(org.apache.spark.sql.GraftBridge.toExpression(a),
+        org.apache.spark.sql.GraftBridge.toExpression(b)))
+
   /** Register SQL names on a session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

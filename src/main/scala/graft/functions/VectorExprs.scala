@@ -108,6 +108,47 @@ object VectorKernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Own bucket + the `probes` multi-probe buckets: element 0 is the
+    * sign-bit bucket; element 1+i flips the bit of the plane with the
+    * (i+1)-th smallest |projection| (ties to the lower plane index) —
+    * the standard multi-probe LSH order. One fused loop computes
+    * projections, bucket, and margin ranking.
+    */
+  def rhpProbes(v: ArrayData, isFloat: Boolean, flat: Array[Double],
+                dim: Int, probes: Int): ArrayData = {
+    val np = flat.length / dim
+    val d = math.min(dim, v.numElements())
+    val dots = new Array[Double](np)
+    var bucket = 0L
+    var p = 0
+    while (p < np) {
+      var dot = 0.0
+      val base = p * dim
+      var i = 0
+      while (i < d) { dot += flat(base + i) * elem(v, isFloat, i); i += 1 }
+      dots(p) = math.abs(dot)
+      if (dot >= 0) bucket |= 1L << p
+      p += 1
+    }
+    val k = math.min(math.max(probes, 0), np)
+    val out = new Array[Long](1 + k)
+    out(0) = bucket
+    var s = 0
+    while (s < k) {
+      var best = -1
+      var bm = Double.PositiveInfinity
+      var q = 0
+      while (q < np) {
+        if (dots(q) < bm) { bm = dots(q); best = q }
+        q += 1
+      }
+      dots(best) = Double.PositiveInfinity
+      out(1 + s) = bucket ^ (1L << best)
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Sign bits of the per-plane projections, packed little-endian. */
   def rhpBucket(v: ArrayData, isFloat: Boolean, flat: Array[Double], dim: Int): Long = {
     val np = flat.length / dim
@@ -224,6 +265,37 @@ case class RhpBucket(child: Expression, planes: Array[Array[Double]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): RhpBucket =
+    copy(child = newChild)
+}
+
+/** `rhp_probes(v)` — [own bucket, probe buckets...] for multi-probe
+  * sign-random-projection LSH: probe i flips the plane with the
+  * (i+1)-smallest |projection| margin. See [[VectorKernels.rhpProbes]].
+  */
+case class RhpProbes(child: Expression, planes: Array[Array[Double]], probes: Int)
+  extends UnaryExpression {
+  require(planes.nonEmpty && planes.length <= 64, "1..64 planes")
+  require(probes >= 0, "probes must be non-negative")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkVec(child.dataType, "graft_rhp_probes")
+
+  private lazy val vFloat = VectorExprs.isFloat(child.dataType)
+  private val dim = planes.head.length
+  private lazy val flat: Array[Double] = planes.flatten.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.rhpProbes(v.asInstanceOf[ArrayData], vFloat, flat, dim, probes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("rhpProbesFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorKernels.rhpProbes($v, $vFloat, $flatRef, $dim, $probes);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RhpProbes =
     copy(child = newChild)
 }
 

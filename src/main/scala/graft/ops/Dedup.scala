@@ -100,18 +100,17 @@ object Dedup {
         graft.functions.GraftFunctions.minhashSig(col("hashed"), k).as("sig"))
   }
 
-  /** (id, sig, band, bucket) band memberships of the signatures. */
-  private def bandedSignatures(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
-    val rowsPerBand = k / bands
+  /** (id, sig, band, bucket) band memberships of the signatures —
+    * bucket keys by the native [[graft.functions.SigBandKeys]] fold
+    * (one loop per row; docs pair iff a band slice matches exactly, so
+    * the key derivation only needs determinism, not a specific hash).
+    */
+  private def bandedSignatures(sigs: DataFrame, k: Int, bands: Int): DataFrame =
     sigs.select(
       col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(array_join(
-          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            x => x.cast("string")), ",")))))
+      posexplode(graft.functions.GraftFunctions.sigBandKeys(col("sig"), bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-  }
 
   /** Audit companion of [[minhashLsh]]: the (band, bucket) groups LARGER
     * than maxBucket — exactly the memberships minhashLsh(..., maxBucket)
@@ -160,9 +159,11 @@ object Dedup {
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       // estimate + threshold BEFORE the pair dedup: the dedup shuffle
-      // then moves (id, id, double) rows, not two k-long signatures
+      // then moves (id, id, double) rows, not two k-long signatures.
+      // Agreement count is the native SigAgreement loop (the zip_with
+      // form would be an interpreted tree walk per candidate pair).
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
+        graft.functions.GraftFunctions.sigAgreement(col("sig_a"), col("sig_b"))
           .cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))

@@ -283,10 +283,11 @@ object Similarity {
     * recall grows with probes at probes× the candidate cost, without
     * re-hashing or extra tables.
     *
-    * The per-plane projections are computed ONCE per query row by the
-    * native [[graft.functions.PlaneDots]] into a materialized column;
-    * bucket bits and flip margins both derive from that column with
-    * plain (codegen) array ops.
+    * Projections, bucket bits, and margin-ranked flip buckets are all
+    * computed by ONE fused native loop per query row
+    * ([[graft.functions.RhpProbes]]); the corpus side is the sibling
+    * [[graft.functions.RhpBucket]] loop — no interpreted expression
+    * anywhere in the operator.
     */
   def annTopK(embeddings: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
               planes: Int = 12, probes: Int = 0,
@@ -294,22 +295,10 @@ object Similarity {
     val m = planeMatrix(dim, planes)
     val emb = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", GraftFunctions.rhpBucket(col("v"), m))
-    val masks = array((0 until planes).map(p => lit(1L << p)): _*)
-    val qs0 = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .withColumn("__dots", GraftFunctions.planeDots(col("qv"), m))
-      .withColumn("__bucket",
-        (0 until planes).map { p =>
-          when(element_at(col("__dots"), p + 1) >= 0, lit(1L << p)).otherwise(lit(0L))
-        }.reduce((a, b) => a.bitwiseOR(b)))
-    // planes ordered by |margin| ascending; flip the closest `probes`
-    val flips = transform(
-      slice(sort_array(array((0 until planes).map { p =>
-        struct(abs(element_at(col("__dots"), p + 1)).as("m"), lit(p).as("p"))
-      }: _*)), 1, math.min(math.max(probes, 0), planes)),
-      x => col("__bucket").bitwiseXOR(element_at(masks, x("p") + 1)))
-    val qs = qs0
-      .withColumn("bucket", explode(concat(array(col("__bucket")), flips)))
-      .drop("__dots", "__bucket")
+    val qs = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("bucket",
+        explode(GraftFunctions.rhpProbes(col("qv"), m,
+          math.min(math.max(probes, 0), planes))))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     qs.join(emb, Seq("bucket"))

@@ -204,6 +204,45 @@ class FunctionsSpec extends AnyFunSuite {
     sig.collect().foreach(r => assert(r.getSeq[Any](0) == r.getSeq[Any](1)))
   }
 
+  test("SigAgreement == zip_with twin; SigBandKeys separates differing bands, keeps equal ones") {
+    import spark.implicits._
+    val sigs = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L)),
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 9L)),
+      (Seq(1L, 2L, 3L, 4L), Seq(9L, 9L, 9L, 9L)))
+    val df = sigs.toDF("a", "b").select(
+      GraftFunctions.sigAgreement(col("a"), col("b")).as("native"),
+      size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), v => v)).as("twin"))
+    df.collect().foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // band keys: equal slices -> equal keys, differing slices -> differing keys
+    val keys = Seq((Seq(1L, 2L, 3L, 4L)), (Seq(1L, 2L, 9L, 9L))).toDF("sig")
+      .select(GraftFunctions.sigBandKeys(col("sig"), 2).as("k")).collect()
+      .map(_.getSeq[Long](0))
+    assert(keys(0)(0) == keys(1)(0), "identical band 0 slices must share a key")
+    assert(keys(0)(1) != keys(1)(1), "differing band 1 slices must split")
+  }
+
+  test("RhpProbes: head is the own bucket, probes flip ascending-margin planes, all distinct") {
+    val dim = 12
+    val m = graft.ops.Similarity.planeMatrix(dim, 8)
+    val df = vecDf(100, dim).select(
+      graft.ops.Similarity.lshBucket(col("v"), dim, 8).as("own"),
+      GraftFunctions.rhpProbes(col("v"), m, 4).as("probes"),
+      GraftFunctions.planeDots(col("v"), m).as("dots"))
+    df.collect().foreach { r =>
+      val probes = r.getSeq[Long](1)
+      assert(probes.length == 5 && probes.distinct.length == 5)
+      assert(probes.head == r.getLong(0), "probes[0] must be the own bucket")
+      // each probe flips exactly one plane, in ascending |margin| order
+      val dots = r.getSeq[Double](2).map(math.abs)
+      val flipped = probes.tail.map(p => java.lang.Long.numberOfTrailingZeros(p ^ probes.head))
+      assert(flipped.forall(p => (probes.head ^ probes(flipped.indexOf(p) + 1)) == (1L << p)))
+      val margins = flipped.map(dots)
+      assert(margins.zip(margins.tail).forall { case (x, y) => x <= y + 1e-12 },
+        s"probe margins not ascending: $margins")
+    }
+  }
+
   test("SimHash64 agrees between codegen and interpreted paths on random token sets") {
     import spark.implicits._
     val df = spark.range(0, 2000, 1, 4)

@@ -137,6 +137,46 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("resume refuses a manifest committed from a different input snapshot") {
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft-lineage").toString
+    val inA = java.nio.file.Files.createTempDirectory("graft-inA").toString
+    val inB = java.nio.file.Files.createTempDirectory("graft-inB").toString
+    val media = spark.createDataset(Seq.empty[(String, Array[Byte])]).toDF("media_ref", "bytes")
+    def mk(n: Int) = spark.createDataset((0 until n).map(i =>
+      graft.gen.InDoc(f"ln-$i%02d", Seq(graft.gen.InSpan("text", s"doc $i", "", 0))))).toDF()
+    mk(6).write.mode("overwrite").parquet(inA)
+    mk(9).write.mode("overwrite").parquet(inB)
+    val cfg = ExtractJob.Config(outputBuckets = 4)
+    ExtractJob.runResumable(spark, spark.read.parquet(inA), media, outDir, cfg)
+    // same input resumes fine (no-op: everything committed)
+    val again = ExtractJob.runResumable(spark, spark.read.parquet(inA), media, outDir, cfg)
+    assert(again.newBuckets == 0)
+    // different input files -> different snapshot id -> loud refusal
+    val ex = intercept[IllegalStateException] {
+      ExtractJob.runResumable(spark, spark.read.parquet(inB), media, outDir, cfg)
+    }
+    assert(ex.getMessage.contains("refusing to resume"))
+  }
+
+  test("S10 health probe: capability row + live manifest counters") {
+    import spark.implicits._
+    val fresh = graft.pipe.Health.check(spark).collect()(0)
+    assert(fresh.getString(0) == "success" && fresh.getBoolean(fresh.fieldIndex("pdf_ok")))
+    assert(fresh.getString(fresh.fieldIndex("languages")).split(",").toSet ==
+      graft.codec.Glyphs.languages.toSet)
+    assert(fresh.getLong(fresh.fieldIndex("committed_buckets")) == 0L)
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft-health-spec").toString
+    val docs = spark.createDataset((0 until 12).map(i =>
+      graft.gen.InDoc(f"hs-$i%02d", Seq(graft.gen.InSpan("text", s"doc $i", "", 0))))).toDF()
+    val media = spark.createDataset(Seq.empty[(String, Array[Byte])]).toDF("media_ref", "bytes")
+    ExtractJob.runResumable(spark, docs, media, outDir, ExtractJob.Config(outputBuckets = 4))
+    val live = graft.pipe.Health.check(spark, s"$outDir/manifest").collect()(0)
+    assert(live.getLong(live.fieldIndex("committed_docs")) == 12L)
+    assert(live.getLong(live.fieldIndex("committed_buckets")) >= 1L)
+  }
+
   test("resumable run never re-reads the output path (single-pass manifest via observe)") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

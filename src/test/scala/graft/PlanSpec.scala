@@ -108,6 +108,35 @@ class PlanSpec extends AnyFunSuite {
       s"summarizer must sit above the range exchange (UDF@$udfAt vs exchange@$exchangeAt):\n$plan")
   }
 
+  test("similarity/dedup hot paths carry no interpreted HOF trees (native kernels only)") {
+    // higher-order functions (aggregate/zip_with/transform over lambdas)
+    // are CodegenFallback — interpreted per-row tree walks. Round 2's
+    // IVF ran 151 s over 2,000 vectors because of exactly this; the
+    // native kernels must stay on these paths.
+    import spark.implicits._
+    val emb = (0L until 64L).map(i => (i,
+      Array.tabulate(16)(d => (graft.util.Det.double01(
+        graft.util.Det.at(0xeedL + i, d.toLong)) * 2 - 1).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val cb = graft.ops.Similarity.trainIvf(emb, 16, nCentroids = 4, iters = 1)
+    val plans = Seq(
+      "ivfTopK" -> graft.ops.Similarity.ivfTopK(emb, emb.limit(4), 16, cb, k = 3),
+      "annTopK" -> graft.ops.Similarity.annTopK(emb, emb.limit(4), 16, k = 3, planes = 4),
+      "bruteForceTopK" -> graft.ops.Similarity.bruteForceTopK(emb, Seq.fill(16)(0.1f), 3),
+      "embeddingNearDups" -> graft.ops.Similarity.embeddingNearDups(emb, 16, 0.99),
+      "minhashLsh sigs" -> graft.ops.Dedup.minhashLsh(
+        (0L until 16L).map(i => (i, s"doc $i words a b c d e")).toDF("doc_id", "text")))
+    plans.foreach { case (name, df) =>
+      val plan = planOf(df)
+      // the HOF nodes render as aggregate(...) / zip_with(...) /
+      // lambdafunction(...) in the executed plan
+      Seq("zip_with(", "lambdafunction(").foreach { marker =>
+        assert(!plan.toLowerCase.contains(marker),
+          s"$name plan contains interpreted HOF '$marker':\n$plan")
+      }
+    }
+  }
+
   test("OCR runs once per distinct content hash (cache semantics, C5/P1)") {
     // count kernel invocations via an accumulator-free proxy: the
     // distinct-content side row count equals distinct sha2 of media
