@@ -258,6 +258,58 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q25_cube_grouping" -> ((s, dir) => {
+      // CUBE + grouping_id (SURVEY §2.8 — the full grouping-sets
+      // lattice beside q19's rollup)
+      s.read.parquet(p(dir, "orders"))
+        .filter(col("o_custkey") <= 100)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    "q26_conditional_agg" -> ((s, dir) => {
+      // conditional / boolean aggregates: count_if, sum(CASE), any/every
+      s.read.parquet(p(dir, "lineitem"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count_if(col("l_discount") > 0.05).as("n_discounted"),
+          round(sum(when(col("l_tax") > 0.04, col("l_extendedprice")).otherwise(0.0)), 2)
+            .as("taxed_value"),
+          bool_or(col("l_quantity") > 49).as("any_bulk"),
+          bool_and(col("l_quantity") > 0).as("all_positive"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q27_string_funcs" -> ((s, dir) => {
+      // string/regex scalar battery: regexp_extract, substring, position,
+      // lpad, concat_ws (RE2-safe pattern for the DuckDB twin)
+      s.read.parquet(p(dir, "customer"))
+        .filter(col("c_custkey") <= 300)
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)$", 1).as("name_num"),
+          substring(col("c_mktsegment"), 1, 3).as("seg3"),
+          instr(col("c_name"), "00").as("zz_pos"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q28_window_ranks" -> ((s, dir) => {
+      // rank-family windows: ntile, percent_rank, cume_dist, first/nth value
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      s.read.parquet(p(dir, "orders"))
+        .filter(col("o_custkey") <= 120)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"),
+          round(first_value(col("o_totalprice")).over(w), 2).as("cheapest"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
     "q24_window_frames" -> ((s, dir) => {
       // lag/lead + running aggregate window frames (SURVEY §2.8)
       val w = Window.partitionBy(col("o_custkey"))
@@ -803,6 +855,42 @@ object SparkEntry {
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
         |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q25_cube_grouping" ->
+      """SELECT grouping_id(o_orderstatus, o_orderpriority) AS gid,
+        |  o_orderstatus, o_orderpriority,
+        |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_custkey <= 100
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q26_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  round(sum(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0.0 END), 2)
+        |    AS taxed_value,
+        |  bool_or(l_quantity > 49) AS any_bulk,
+        |  bool_and(l_quantity > 0) AS all_positive
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q27_string_funcs" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)$', 1) AS name_num,
+        |  substring(c_mktsegment, 1, 3) AS seg3,
+        |  instr(c_name, '00') AS zz_pos,
+        |  lpad(c_custkey::VARCHAR, 8, '0') AS padded,
+        |  concat_ws('|', c_mktsegment, c_name) AS joined
+        |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin,
+
+    "q28_window_ranks" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pr,
+        |  round(cume_dist() OVER w, 4) AS cd,
+        |  round(first_value(o_totalprice) OVER w, 2) AS cheapest
+        |FROM orders WHERE o_custkey <= 120
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q24_window_frames" ->
       """SELECT o_custkey, o_orderkey,
