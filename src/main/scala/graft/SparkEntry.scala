@@ -553,6 +553,25 @@ object SparkEntry {
           $"committed_buckets", $"committed_docs")
     }),
 
+    "x22_streaming_extract" -> ((s, dir) => {
+      // streaming form of the flagship extraction (stream-static media
+      // join, append-mode stateless; StreamingSpec asserts row-equality
+      // with batch). Bounded file source -> memory sink, rows-only.
+      val docs = Corpus.documents(s, dir).toDF()
+        .filter(xxhash64(col("doc_id")) % 10 === 0)
+      val media = Corpus.media(s, dir).toDF()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x22").toString
+      docs.write.mode("overwrite").parquet(s"$tmp/in")
+      val name = s"x22sx_${System.nanoTime()}"
+      val q = graft.streaming.StreamingJobs
+        .extractSpansStreaming(s, s"$tmp/in", docs.schema, media)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).orderBy(col("doc_id"), col("offset"))
+    }),
+
     "x16_pdf_extract" -> ((s, dir) => {
       // S4/S5/S6 — multi-page pdf-analog containers through the full
       // pipeline (rows-only: page text is OCR output)

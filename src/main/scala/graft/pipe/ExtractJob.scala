@@ -97,6 +97,44 @@ object ExtractJob {
       (d.text, d.avgConfidence)
     }
 
+  /** (doc_id, kind, text, media_ref, offset) span rows — explode_outer
+    * so a doc with an empty/null spans array still emits a (null-kind)
+    * row. Stateless; shared by the batch and streaming forms.
+    */
+  private[graft] def explodedSpans(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode_outer(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.kind"), col("s.text"), col("s.media_ref"), col("s.offset"))
+
+  /** The text + sentinel branch (ONE pass over the non-media rows).
+    * S2 ingest guard: the kind allowlist (the extension-allowlist
+    * analog, app.py:317-320) drops unknown kinds from the span
+    * sequence — but every dropped span (and every doc whose spans
+    * array was empty: explode_outer's null row) becomes a null-kind
+    * doc-preservation SENTINEL instead of vanishing. assembleDocs
+    * filters sentinels out of the sequence but keeps the doc_id in
+    * the groupBy, so a document whose spans all vanish still yields
+    * an (empty-text, confidence-0) output row. Text spans take the
+    * direct-text bypass (S7, app.py:636-649) — cleanup + 90/70
+    * confidence rule, all codegen; never the kernel. Stateless;
+    * shared by the batch and streaming forms.
+    */
+  private[graft] def textBranch(exploded: DataFrame): DataFrame = {
+    val isText = col("kind") === "text"
+    exploded
+      .filter(!(col("kind") <=> "media"))
+      .select(
+        col("doc_id"),
+        when(isText, col("kind")).otherwise(lit(null).cast("string")).as("kind"),
+        when(isText, trim(regexp_replace(col("text"), "\\s+", " ")))
+          .otherwise(lit("")).as("text"),
+        when(isText, col("media_ref")).otherwise(lit("")).as("media_ref"),
+        when(isText, col("offset")).otherwise(lit(null).cast("int")).as("offset"),
+        when(isText,
+          when(length(trim(col("text"))) > 50, lit(90.0)).otherwise(lit(70.0)))
+          .otherwise(lit(0.0)).as("confidence"))
+  }
+
   /** Per-span extraction: returns
     * spans(doc_id, kind, text, media_ref, offset, confidence).
     */
@@ -111,33 +149,8 @@ object ExtractJob {
     val maybeRepartitioned =
       if (cfg.inputPartitions > 0) docs.repartition(cfg.inputPartitions, $"doc_id")
       else docs
-    val exploded = maybeRepartitioned
-      .select($"doc_id", explode_outer($"spans").as("s"))
-      .select($"doc_id", $"s.kind", $"s.text", $"s.media_ref", $"s.offset")
-    // --- text + sentinel branch (ONE pass over the non-media rows).
-    // S2 ingest guard: the kind allowlist (the extension-allowlist
-    // analog, app.py:317-320) drops unknown kinds from the span
-    // sequence — but every dropped span (and every doc whose spans
-    // array was empty: explode_outer's null row) becomes a null-kind
-    // doc-preservation SENTINEL instead of vanishing. assembleDocs
-    // filters sentinels out of the sequence but keeps the doc_id in
-    // the groupBy, so a document whose spans all vanish still yields
-    // an (empty-text, confidence-0) output row. Text spans take the
-    // direct-text bypass (S7, app.py:636-649) — cleanup + 90/70
-    // confidence rule, all codegen; never the kernel.
-    val isText = $"kind" === "text"
-    val textOut = exploded
-      .filter(!($"kind" <=> "media"))
-      .select(
-        $"doc_id",
-        when(isText, $"kind").otherwise(lit(null).cast("string")).as("kind"),
-        when(isText, trim(regexp_replace($"text", "\\s+", " ")))
-          .otherwise(lit("")).as("text"),
-        when(isText, $"media_ref").otherwise(lit("")).as("media_ref"),
-        when(isText, $"offset").otherwise(lit(null).cast("int")).as("offset"),
-        when(isText,
-          when(length(trim($"text")) > 50, lit(90.0)).otherwise(lit(70.0)))
-          .otherwise(lit(0.0)).as("confidence"))
+    val exploded = explodedSpans(maybeRepartitioned)
+    val textOut = textBranch(exploded)
 
     // --- media branch
     val mediaSpans = exploded

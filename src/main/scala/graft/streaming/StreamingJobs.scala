@@ -54,6 +54,64 @@ object StreamingJobs {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("h")
 
+  /** Streaming form of the FLAGSHIP extraction (span level): documents
+    * arrive as a file-source stream, media is the STATIC side of a
+    * stream-static join (the right scale shape — the media corpus is a
+    * lookup side, the documents flow). Fully append-mode stateless:
+    * explode + text branch are the same shared stages as the batch job
+    * ([[graft.pipe.ExtractJob.explodedSpans]]/`textBranch`); the media
+    * branch joins bytes and OCRs in `mapPartitions` with the
+    * per-executor engine pool and a per-task content-hash memo (the
+    * streaming analog of the reference's TTL OCR cache: repeated
+    * content inside a micro-batch decodes once per task; batch mode
+    * keeps the stronger global decode-once via its content-hash
+    * shuffle, which streaming trades away to stay stateless).
+    *
+    * Per-row output is IDENTICAL to the batch `extractSpans` for the
+    * same input (decode is deterministic; memoization is only perf) —
+    * StreamingSpec asserts stream==batch on the fixture corpus.
+    */
+  def extractSpansStreaming(spark: SparkSession, docsDir: String,
+                            docsSchema: org.apache.spark.sql.types.StructType,
+                            media: DataFrame,
+                            cfg: graft.pipe.ExtractJob.Config =
+                              graft.pipe.ExtractJob.Config()): DataFrame = {
+    import spark.implicits._
+    import graft.pipe.ExtractJob
+    val docs = spark.readStream.schema(docsSchema).parquet(docsDir)
+    val exploded = ExtractJob.explodedSpans(docs)
+    val textOut = ExtractJob.textBranch(exploded)
+
+    val mode = ExtractJob.preprocessModeFor(cfg.quality)
+    val ocrMode = ExtractJob.ocrModeFor(cfg.quality)
+    val quality = cfg.quality
+    val language = cfg.language
+    val mediaOut = exploded
+      .filter($"kind" === "media")
+      .select($"doc_id", $"kind", $"media_ref", $"offset")
+      .join(media.filter(length($"bytes") <= cfg.maxMediaBytes), Seq("media_ref"), "left")
+      .select($"doc_id", $"media_ref", $"offset", $"bytes")
+      .as[(String, String, Int, Array[Byte])]
+      .mapPartitions { it =>
+        val engine = graft.ocr.EnginePool.get(mode, language)
+        val memo = scala.collection.mutable.HashMap.empty[String, (String, Double)]
+        it.map { case (docId, ref, offset, bytes) =>
+          val (text, conf) =
+            if (bytes == null) ("", 0.0) // dangling ref: empty span, conf 0
+            else {
+              val h = java.security.MessageDigest.getInstance("SHA-256")
+                .digest(bytes).map(b => f"$b%02x").mkString
+              memo.getOrElseUpdate(h,
+                ExtractJob.decodeMedia(engine, bytes, quality, ocrMode))
+            }
+          (docId, "media", text, ref, offset, conf)
+        }
+      }
+      .toDF("doc_id", "kind", "text", "media_ref", "offset", "confidence")
+
+    textOut.unionByName(mediaOut)
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, n_events: Long, total_value: Double,
                               first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)

@@ -56,6 +56,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(u2.length == 1 && u2(0).getLong(1) == 1L && u2(0).getDouble(2) == 16.0)
   }
 
+  test("streaming extraction (stream-static media join) row-equals batch extractSpans") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.gen.Corpus.documents(spark, "/root/testdata/sf0.001").toDF()
+      .filter(xxhash64(col("doc_id")) % 10 === 0) // ~10% slice keeps the test fast
+    val media = graft.gen.Corpus.media(spark, "/root/testdata/sf0.001").toDF()
+    val dir = java.nio.file.Files.createTempDirectory("graft-sx")
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+
+    val q = StreamingJobs.extractSpansStreaming(spark, s"$dir/in", docs.schema, media)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sx")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val key = Seq("doc_id", "offset", "kind", "media_ref", "text", "confidence")
+    val streamed = spark.sql("SELECT * FROM sx")
+      .select(key.map(col): _*).orderBy(key.map(col): _*).collect()
+    val batch = graft.pipe.ExtractJob.extractSpans(spark,
+        spark.read.parquet(s"$dir/in"), media)
+      .select(key.map(col): _*).orderBy(key.map(col): _*).collect()
+    assert(streamed.length == batch.length && streamed.length > 0,
+      s"rows: streamed=${streamed.length} batch=${batch.length}")
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("streaming dedup: one survivor per fingerprint, set equals batch exact dedup") {
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
