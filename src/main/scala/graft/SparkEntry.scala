@@ -413,6 +413,17 @@ object SparkEntry {
         .orderBy(col("media_ref"))
     }),
 
+    "x23_mm_audio_features" -> ((s, dir) => {
+      // audio feature extraction (duration / RMS energy / zero-crossing
+      // count) over the GAUD containers — rows-only: the synth wave's
+      // Det jitter is not SQL-recomputable (duration is; covered by the
+      // x09 metadata oracle on the same containers)
+      Multimodal.audioFeatureTable(s, synthMedia(s)).toDF()
+        .select(col("media_ref"), round(col("duration_ms"), 2).as("duration_ms"),
+          col("rms"), col("zero_crossings"))
+        .orderBy(col("media_ref"))
+    }),
+
     "x12_scope_column_summary" -> ((s, dir) => {
       // T9 column scope: per structure column, texts joined "\n\n" +
       // kernel summary (app.py:1996-2005)

@@ -218,6 +218,18 @@ object Multimodal {
       .mapPartitions(_.map { case (r, b) => metaOf(r, b) })
   }
 
+  /** Audio feature extraction (duration, RMS energy, zero-crossing
+    * count) — the audio sibling of [[imageFeatureTable]]; non-audio
+    * rows pass through as None.
+    */
+  def audioFeatureTable(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select(col("media_ref"), col("bytes")).as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (r, b) =>
+        if (kindOf(b) == "audio") Some(audioFeatures(r, b)) else None
+      })
+  }
+
   /** Image feature extraction (decode + 16-bin intensity histogram). */
   def imageFeatureTable(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
     import spark.implicits._
