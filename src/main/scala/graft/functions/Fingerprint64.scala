@@ -107,11 +107,30 @@ object GraftFunctions {
       SigAgreement(org.apache.spark.sql.GraftBridge.toExpression(a),
         org.apache.spark.sql.GraftBridge.toExpression(b)))
 
-  /** Register SQL names on a session (idempotent). */
+  /** Register SQL names on a session (idempotent). Parameterized
+    * kernels take their constant as a foldable int literal (the
+    * standard SQL-function shape for e.g. ngrams(n)).
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Int =
+      e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"$what must be an INT literal, got $other")
+      }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fingerprint64", exprs => Fingerprint64(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_hashes",
+      exprs => ShingleHashes(exprs(0), litInt(exprs(1), "shingle width")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => MinHashSig(exprs(0), litInt(exprs(1), "k")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sig_agreement", exprs => SigAgreement(exprs(0), exprs(1)), "scala_udf")
   }
 }

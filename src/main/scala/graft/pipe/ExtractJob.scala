@@ -141,6 +141,11 @@ object ExtractJob {
   def extractSpans(spark: SparkSession, docs: DataFrame, media: DataFrame,
                    cfg: Config = Config()): DataFrame = {
     import spark.implicits._
+    // fail fast on an unknown language AT PLAN TIME: at 10^12 docs a bad
+    // config must not surface as per-task failures (x retries x tasks)
+    // deep into the job — fontFor throws the tesseract-style
+    // missing-traineddata error on the driver instead
+    graft.codec.Glyphs.fontFor(cfg.language): Unit
 
     val nParts = spark.sparkContext.defaultParallelism * 2
     // explode_outer: a doc with an empty/null spans array still emits a

@@ -54,6 +54,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(1))
   }
 
+  test("SQL registration: full dedup chain runs as pure SQL through the native kernels") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(("doc one has words", "doc one has words"), ("other text here", "doc one has words"))
+      .toDF("a", "b").createOrReplaceTempView("t_sql")
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c,
+        |  graft_sig_agreement(graft_minhash(graft_shingle_hashes(a, 3), 8),
+        |                      graft_minhash(graft_shingle_hashes(b, 3), 8)) AS agree_same,
+        |  graft_sig_agreement(graft_minhash(graft_shingle_hashes('unrelated entirely', 3), 8),
+        |                      graft_minhash(graft_shingle_hashes(b, 3), 8)) AS agree_diff
+        |FROM t_sql WHERE a = b""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getInt(1) == 8, "identical docs agree on every minhash slot")
+    assert(r.getInt(2) < 8, "unrelated docs must not agree everywhere")
+    // non-literal k is rejected loudly
+    val ex = intercept[Exception](
+      spark.sql("SELECT graft_minhash(array(1L), length(a)) FROM t_sql").collect())
+    assert(ex.getMessage.contains("INT literal") ||
+      Option(ex.getCause).exists(_.getMessage.contains("INT literal")))
+  }
+
   test("type check rejects non-string input") {
     import spark.implicits._
     val ex = intercept[Exception] {
