@@ -114,4 +114,78 @@ object GraftProps extends Properties("graft") {
       val a = e.decode(bytes); val b = e.decode(bytes)
       a.text == b.text && a.avgConfidence == b.avgConfidence
     }
+
+  // ---- native vector kernel laws (pure-JVM, no Spark session) ----
+  import graft.functions.{SigKernels, VectorKernels}
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private def fad(a: Array[Float]) = new GenericArrayData(a.map(x => Float.box(x): Any))
+  private val vecGen: Gen[Array[Float]] =
+    Gen.choose(2, 24).flatMap(d =>
+      Gen.listOfN(d, Gen.choose(-100, 100).map(_ / 10.0f)).map(_.toArray))
+
+  property("cosine kernel == reference fold; symmetric; self-cosine 1 for nonzero v") =
+    forAll(vecGen, vecGen) { (a0, b0) =>
+      val d = math.min(a0.length, b0.length)
+      val (a, b) = (a0.take(d), b0.take(d))
+      def ref(x: Array[Float], y: Array[Float]) = {
+        val dot = x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+        dot / (math.sqrt(x.map(p => p.toDouble * p).sum) * math.sqrt(y.map(q => q.toDouble * q).sum))
+      }
+      val k = VectorKernels.cosine(fad(a), fad(b), true, true)
+      val kr = ref(a, b)
+      val sym = VectorKernels.cosine(fad(b), fad(a), true, true)
+      val eq = (k.isNaN && kr.isNaN) || math.abs(k - kr) < 1e-9
+      val symOk = (k.isNaN && sym.isNaN) || math.abs(k - sym) < 1e-9
+      val selfOk = a.forall(_ == 0f) ||
+        math.abs(VectorKernels.cosine(fad(a), fad(a), true, true) - 1.0) < 1e-9
+      eq && symOk && selfOk
+    }
+
+  property("ivfProbes is a distinct prefix of the true distance argsort") =
+    forAll(vecGen, Gen.choose(2, 8), Gen.choose(1, 8)) { (v, nc, probes0) =>
+      val dim = v.length
+      val cb = Array.tabulate(nc, dim)((c, d) =>
+        graft.util.Det.double01(graft.util.Det.at(0xabcdL + c, d.toLong)) * 4 - 2)
+      val flat = cb.flatten
+      val c2 = cb.map(_.map(x => x * x).sum)
+      val probes = math.min(probes0, nc)
+      val got = VectorKernels.ivfProbes(fad(v), true, flat, c2, dim, probes)
+      val ids = (0 until got.numElements()).map(got.getInt)
+      def d2(c: Int) = cb(c).zip(v).map { case (x, y) => (x - y) * (x - y) }.sum
+      val want = (0 until nc).sortBy(c => (d2(c), c)).take(probes)
+      ids == want
+    }
+
+  property("rhpProbes: head == bucket; probes flip exactly one bit each, all distinct") =
+    forAll(vecGen, Gen.choose(1, 12), Gen.choose(0, 12)) { (v, np, probes0) =>
+      val dim = v.length
+      val planes = Array.tabulate(np, dim)((p, d) =>
+        graft.util.Det.double01(graft.util.Det.at(0xfeedL + p, d.toLong)) - 0.5)
+      val flat = planes.flatten
+      val probes = math.min(probes0, np)
+      val bucket = VectorKernels.rhpBucket(fad(v), true, flat, dim)
+      val got = VectorKernels.rhpProbes(fad(v), true, flat, dim, probes)
+      val arr = (0 until got.numElements()).map(got.getLong)
+      arr.head == bucket && arr.distinct.length == arr.length &&
+        arr.tail.forall(p => java.lang.Long.bitCount(p ^ bucket) == 1)
+    }
+
+  property("sig agreement: symmetric, bounded, k iff equal; band keys: equal slices share keys") =
+    forAll(Gen.choose(1, 4), Gen.listOfN(8, Gen.choose(0L, 9L)), Gen.listOfN(8, Gen.choose(0L, 9L))) {
+      (bands0, as, bs) =>
+      val bands = math.min(bands0, 4)
+      def lad(xs: Seq[Long]) = new GenericArrayData(xs.map(x => Long.box(x): Any).toArray)
+      val agree = SigKernels.agreement(lad(as), lad(bs))
+      val symOk = agree == SigKernels.agreement(lad(bs), lad(as))
+      val boundOk = agree >= 0 && agree <= 8 && (agree == 8) == (as == bs)
+      val ka = SigKernels.bandKeys(lad(as), bands)
+      val kb = SigKernels.bandKeys(lad(bs), bands)
+      val rows = 8 / bands
+      val keysOk = (0 until bands).forall { b =>
+        val sliceEq = as.slice(b * rows, b * rows + rows) == bs.slice(b * rows, b * rows + rows)
+        !sliceEq || ka.getLong(b) == kb.getLong(b) // equal slices MUST share keys
+      }
+      symOk && boundOk && keysOk
+    }
 }
