@@ -583,6 +583,21 @@ object SparkEntry {
       s.table(name).orderBy(col("doc_id"), col("offset"))
     }),
 
+    "x24_ivfpq_ann" -> ((s, dir) => {
+      // IVF-PQ with exact re-rank (rows-only: approximate by contract;
+      // recall is spec-asserted on planted clusters). The 10^12-vector
+      // candidate-traffic shape: candidates cross the probe join as
+      // m-byte PQ codes instead of dim floats, ADC-ranked, and only the
+      // top-`rerank` re-fetch exact vectors for cosine re-ranking.
+      val emb = s.read.parquet(p(dir, "embeddings"))
+      val dim = embDim(s, dir)
+      val coarse = Similarity.trainIvf(emb, dim, nCentroids = 16, iters = 2)
+      val pq = Similarity.trainPq(emb, dim, m = 8, codes = 16, iters = 2)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), dim, coarse, pq,
+        k = 5, nProbe = 2, rerank = 20)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     "x16_pdf_extract" -> ((s, dir) => {
       // S4/S5/S6 — multi-page pdf-analog containers through the full
       // pipeline (rows-only: page text is OCR output)

@@ -98,6 +98,15 @@ object GraftFunctions {
     org.apache.spark.sql.GraftBridge.toColumn(
       RhpProbes(org.apache.spark.sql.GraftBridge.toExpression(v), planes, probes))
 
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      PqEncode(org.apache.spark.sql.GraftBridge.toExpression(v), codebooks))
+
+  def pqAdc(q: Column, code: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      PqAdc(org.apache.spark.sql.GraftBridge.toExpression(q),
+        org.apache.spark.sql.GraftBridge.toExpression(code), codebooks))
+
   def sigBandKeys(sig: Column, bands: Int): Column =
     org.apache.spark.sql.GraftBridge.toColumn(
       SigBandKeys(org.apache.spark.sql.GraftBridge.toExpression(sig), bands))

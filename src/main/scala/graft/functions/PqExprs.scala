@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Product-quantization kernels (IVF-PQ, the 10^12-vector ANN shape):
+  * a vector of `dim` floats is encoded as `m` one-byte codes — each
+  * subspace of dim/m dimensions quantized to its nearest of <=256
+  * per-subspace centroids. Candidates then shuffle as m BYTES instead
+  * of dim floats (dim=64, m=8: 32x less candidate traffic), and
+  * queries rank candidates by asymmetric distance (ADC): the exact
+  * query subvector against the candidate's quantized centroids.
+  *
+  * Codebooks are constructor constants (broadcast inside the plan,
+  * like [[IvfProbes]]); both kernels are single fused loops.
+  */
+object PqKernels {
+
+  private def elem(a: ArrayData, isFloat: Boolean, i: Int): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Encode: byte s = argmin_c ||v_s - cb[s][c]||^2, ties to the lower
+    * code. `flat` is (s, c, d)-major: flat[(s*codes + c)*subDim + d].
+    */
+  def encode(v: ArrayData, isFloat: Boolean, flat: Array[Double],
+             m: Int, codes: Int, subDim: Int): Array[Byte] = {
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bd = Double.PositiveInfinity
+      var c = 0
+      while (c < codes) {
+        var d2 = 0.0
+        val base = (s * codes + c) * subDim
+        var d = 0
+        while (d < subDim) {
+          val diff = elem(v, isFloat, s * subDim + d) - flat(base + d)
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bd) { bd = d2; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** ADC: sum over subspaces of ||q_s - centroid[s][code_s]||^2 —
+    * the asymmetric (exact-query x quantized-candidate) squared
+    * distance.
+    */
+  def adc(q: ArrayData, isFloat: Boolean, codeBytes: Array[Byte],
+          flat: Array[Double], m: Int, codes: Int, subDim: Int): Double = {
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val c = codeBytes(s) & 0xff
+      val base = (s * codes + c) * subDim
+      var d = 0
+      while (d < subDim) {
+        val diff = elem(q, isFloat, s * subDim + d) - flat(base + d)
+        acc += diff * diff
+        d += 1
+      }
+      s += 1
+    }
+    acc
+  }
+}
+
+/** `pq_encode(v)` — m-byte PQ code of a vector. */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+  extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty &&
+    codebooks.head.length <= 256, "1..256 codes per subspace")
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkVec(child.dataType, "graft_pq_encode")
+
+  private lazy val vFloat = VectorExprs.isFloat(child.dataType)
+  private val m = codebooks.length
+  private val codes = codebooks.head.length
+  private val subDim = codebooks.head.head.length
+  private lazy val flat: Array[Double] = codebooks.flatten.flatten.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.encode(v.asInstanceOf[ArrayData], vFloat, flat, m, codes, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PqKernels.encode($v, $vFloat, $flatRef, $m, $codes, $subDim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** `pq_adc(q, code)` — asymmetric distance of an exact query vector to
+  * a PQ-encoded candidate.
+  */
+case class PqAdc(left: Expression, right: Expression,
+                 codebooks: Array[Array[Array[Double]]]) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VectorExprs.checkVec(left.dataType, "graft_pq_adc")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else right.dataType match {
+      case BinaryType | NullType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"graft_pq_adc expects BINARY code, got ${other.sql}")
+    }
+  }
+
+  private lazy val qFloat = VectorExprs.isFloat(left.dataType)
+  private val m = codebooks.length
+  private val codes = codebooks.head.length
+  private val subDim = codebooks.head.head.length
+  private lazy val flat: Array[Double] = codebooks.flatten.flatten.toArray
+
+  override def nullSafeEval(q: Any, code: Any): Any =
+    PqKernels.adc(q.asInstanceOf[ArrayData], qFloat, code.asInstanceOf[Array[Byte]],
+      flat, m, codes, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("pqAdcFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, (q, c) =>
+      s"${ev.value} = graft.functions.PqKernels.adc($q, $qFloat, $c, $flatRef, $m, $codes, $subDim);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}

@@ -111,38 +111,126 @@ object Similarity {
                idCol: String = "vec_id", vecCol: String = "embedding",
                sampleCap: Int = 100000): Array[Array[Double]] = {
     require(sampleCap >= nCentroids, "sampleCap must cover the centroid init")
-    // repartition after the top-k limit: a bare limit() funnels through
-    // one partition, which would serialize every Lloyd round to a
-    // single task; init re-sorts the persisted sample so the hash
-    // order survives the repartition
-    val sample = embeddings
+    val sample = detSample(embeddings, idCol, vecCol, sampleCap).persist()
+    try lloyd(sample, col("v"), nCentroids, iters)
+    finally sample.unpersist()
+  }
+
+  /** Deterministic hash-ordered training sample (see [[trainIvf]] doc).
+    * Repartitioned after the top-k limit: a bare limit() funnels
+    * through one partition, which would serialize every Lloyd round to
+    * a single task; [[lloyd]]'s init re-sorts so the hash order
+    * survives the repartition.
+    */
+  private def detSample(embeddings: DataFrame, idCol: String, vecCol: String,
+                        sampleCap: Int): DataFrame =
+    embeddings
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .orderBy(xxhash64(col("id")), col("id"))
       .limit(sampleCap)
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
-      .persist()
-    try {
-      var codebook: Array[Array[Double]] = sample
-        .orderBy(xxhash64(col("id")), col("id"))
-        .limit(nCentroids)
+
+  /** `iters` Lloyd rounds over `sample` (columns `id`, and `vecExpr`
+    * the float-array to cluster): init = first `nCentroids` in id-hash
+    * order, each round one distributed aggregation (posexplode to
+    * (cluster, dim) cells, mean per cell); empty clusters keep their
+    * previous centroid. The per-round `.collect()` is k x dim cell
+    * means, never data rows.
+    */
+  private def lloyd(sample: DataFrame, vecExpr: Column, nCentroids: Int,
+                    iters: Int): Array[Array[Double]] = {
+    var codebook: Array[Array[Double]] = sample
+      .select(col("id"), vecExpr.as("__tv"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(nCentroids)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = sample
+        .select(vecExpr.as("__tv"))
+        .select(nearestCentroid(col("__tv"), codebook).as("cl"),
+          posexplode(col("__tv")))
+      val means = assigned
+        .groupBy(col("cl"), col("pos"))
+        .agg(avg(col("col")).as("m"))
         .collect()
-        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-      var it = 0
-      while (it < iters) {
-        val assigned = sample
-          .select(nearestCentroid(col("v"), codebook).as("cl"),
-            posexplode(col("v")))
-        val means = assigned
-          .groupBy(col("cl"), col("pos"))
-          .agg(avg(col("col")).as("m"))
-          .collect()
-        val next = codebook.map(_.clone())
-        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-        codebook = next
-        it += 1
-      }
-      codebook
+      val next = codebook.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      codebook = next
+      it += 1
+    }
+    codebook
+  }
+
+  /** Train per-subspace product-quantization codebooks on the same
+    * deterministic sample as [[trainIvf]]: the vector splits into `m`
+    * contiguous subspaces of dim/m dimensions; each gets its own
+    * `codes`-centroid k-means codebook (Lloyd over the sample, seeded
+    * init — fully deterministic). Result shape: m x codes x (dim/m).
+    *
+    * One sample pass per (subspace, round); the corpus itself is
+    * encoded exactly once, by [[ivfPqTopK]], through the native
+    * [[graft.functions.PqEncode]] fused loop.
+    */
+  def trainPq(embeddings: DataFrame, dim: Int, m: Int = 8, codes: Int = 16,
+              iters: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding",
+              sampleCap: Int = 100000): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    require(codes >= 1 && codes <= 256, "PQ codes are one byte: 1..256 per subspace")
+    require(sampleCap >= codes, "sampleCap must cover the centroid init")
+    val subDim = dim / m
+    val sample = detSample(embeddings, idCol, vecCol, sampleCap).persist()
+    try Array.tabulate(m) { s =>
+      lloyd(sample, slice(col("v"), s * subDim + 1, subDim), codes, iters)
     } finally sample.unpersist()
+  }
+
+  /** IVF-PQ ANN top-k with exact re-rank — the 10^12-vector shape of
+    * [[ivfTopK]]. The corpus index row is (cell, id, m-byte PQ code):
+    * candidates shuffle as `m` BYTES instead of dim floats (dim=64,
+    * m=8 float32: 32x less candidate traffic through the probe join —
+    * at 10^12 vectors the candidate shuffle IS the cost). Queries
+    * probe `nProbe` coarse cells, rank candidates by asymmetric
+    * distance (exact query subvectors vs the candidate's quantized
+    * centroids, [[graft.functions.PqAdc]] — one fused loop), keep the
+    * best `rerank` per query, and only THOSE re-fetch their exact
+    * vectors (a semi-join back to the corpus, |Q| x rerank rows) for
+    * exact-cosine re-ranking. Raw vectors are quantized directly
+    * (no residual subtraction — the deterministic variant; documented
+    * trade: coarser cells, same index shape).
+    *
+    * Both codebooks live inside native expressions — broadcast by
+    * construction; shuffles: the probe join (bytes), the re-rank
+    * fetch join (top-rerank ids only), the final per-query window.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, dim: Int,
+                coarse: Array[Array[Double]], pq: Array[Array[Array[Double]]],
+                k: Int = 10, nProbe: Int = 2, rerank: Int = 50,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val index = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), nearestCentroid(col("v"), coarse).as("cl"),
+        GraftFunctions.pqEncode(col("v"), pq).as("code"))
+    val probes = math.max(1, math.min(nProbe, coarse.length))
+    val qs = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("cl", explode(GraftFunctions.ivfProbes(col("qv"), coarse, probes)))
+    val keep = math.max(rerank, k)
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("id"))
+    val survivors = qs.join(index, Seq("cl"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("adc", GraftFunctions.pqAdc(col("qv"), col("code"), pq))
+      .withColumn("rn0", row_number().over(wAdc))
+      .filter(col("rn0") <= keep)
+      .select(col("qid"), col("qv"), col("id"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    survivors
+      .join(embeddings.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
+      .withColumn("sim", round(GraftFunctions.cosineSim(col("qv"), col("v")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("id"), col("sim"), col("rn"))
   }
 
   /** IVF ANN top-k: vectors bucketed by nearest centroid; each query

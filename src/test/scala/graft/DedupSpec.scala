@@ -278,4 +278,46 @@ class DedupSpec extends AnyFunSuite {
     val h4 = Similarity.ivfTopK(emb, queries, dim, codebook, k = 10, nProbe = 4).count()
     assert(h4 >= h1)
   }
+
+  test("IVF-PQ ANN: recall@10 >= 0.9 via byte codes + exact re-rank; deterministic training") {
+    val dim = 64
+    val emb = clustered(nClusters = 40, perCluster = 12, dim = dim, noise = 0.08)
+    val coarse = Similarity.trainIvf(emb, dim, nCentroids = 32, iters = 2)
+    val pq = Similarity.trainPq(emb, dim, m = 8, codes = 32, iters = 2)
+    assert(pq.length == 8 && pq.forall(b => b.length == 32 && b.forall(_.length == 8)))
+    val qids = (0 until 8).map(c => (c * 12).toLong)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+    val got = Similarity.ivfPqTopK(emb, queries, dim, coarse, pq,
+        k = 10, nProbe = 2, rerank = 50)
+      .collect()
+      .groupBy(_.getAs[Number](0).longValue)
+      .map { case (q, rows) => q -> rows.map(_.getAs[Number](1).longValue).toSet }
+    val vecs = emb.collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val recalls = qids.map { q =>
+      val truth = vecs.toSeq.filter(_._1 != q)
+        .sortBy { case (id, v) => (-cos(vecs(q), v), id) }
+        .take(10).map(_._1).toSet
+      truth.intersect(got.getOrElse(q, Set.empty)).size / 10.0
+    }
+    val mean = recalls.sum / qids.size
+    assert(mean >= 0.9, s"IVF-PQ mean recall@10 $mean < 0.9 (per-query: $recalls)")
+    // deterministic PQ training -> deterministic index
+    val pq2 = Similarity.trainPq(emb, dim, m = 8, codes = 32, iters = 2)
+    assert(pq.zip(pq2).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    // re-ranked results are ordered by exact cosine within each query
+    val rows = Similarity.ivfPqTopK(emb, queries, dim, coarse, pq,
+      k = 10, nProbe = 2, rerank = 50).collect()
+    rows.groupBy(_.getAs[Number](0).longValue).foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.sameElements(sims.sorted.reverse))
+    }
+  }
 }

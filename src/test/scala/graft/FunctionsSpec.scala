@@ -186,6 +186,55 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("PqEncode picks per-subspace argmin (ties low); PqAdc matches the naive twin; codegen on") {
+    val dim = 16; val m = 4; val codes = 5; val subDim = dim / m
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m, codes, subDim)((s, c, d) =>
+      graft.util.Det.double01(graft.util.Det.at(0xf00dL + s * 100 + c, d.toLong)) * 2 - 1)
+    val df = vecDf(300, dim)
+      .select(col("v"), GraftFunctions.pqEncode(col("v"), cb).as("code"))
+      .select(col("v"), col("code"),
+        GraftFunctions.pqAdc(col("v"), col("code"), cb).as("adc"))
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected codegen:\n$plan")
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).map(_.toDouble)
+      val code = r.getAs[Array[Byte]](1)
+      assert(code.length == m)
+      def sd2(s: Int, c: Int): Double = (0 until subDim).map { d =>
+        val diff = v(s * subDim + d) - cb(s)(c)(d); diff * diff
+      }.sum
+      (0 until m).foreach { s =>
+        val want = (0 until codes).minBy(c => (sd2(s, c), c))
+        assert((code(s) & 0xff) == want, s"subspace $s: code ${code(s)} != argmin $want")
+      }
+      val twin = (0 until m).map(s => sd2(s, code(s) & 0xff)).sum
+      assert(math.abs(r.getDouble(2) - twin) < 1e-9,
+        s"adc ${r.getDouble(2)} != twin $twin")
+    }
+    // an exact-match codebook (the vector's own subvectors as code 0)
+    // gives adc 0 — the asymmetric distance is exact at zero error
+    val one = vecDf(1, dim).collect()(0).getSeq[Float](1).map(_.toDouble).toArray
+    val exact = Array.tabulate(m, 1, subDim)((s, _, d) => one(s * subDim + d))
+    val z = vecDf(1, dim).select(GraftFunctions.pqAdc(col("v"),
+      GraftFunctions.pqEncode(col("v"), exact), exact)).collect()(0).getDouble(0)
+    assert(z == 0.0)
+  }
+
+  test("PqEncode/PqAdc null-propagate and reject non-vector input") {
+    import spark.implicits._
+    val cb = Array.tabulate(2, 2, 2)((s, c, d) => (s + c + d).toDouble)
+    val r = vecDf(1, 4).select(
+      GraftFunctions.pqEncode(lit(null).cast("array<float>"), cb),
+      GraftFunctions.pqAdc(col("v"), lit(null).cast("binary"), cb)).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    val ex = intercept[Exception] {
+      Seq(1).toDF("i").select(GraftFunctions.pqEncode(col("i"), cb)).collect()
+    }
+    assert(ex.getMessage.contains("DATATYPE_MISMATCH") ||
+      ex.getMessage.toLowerCase.contains("array"))
+  }
+
   test("CosineSim null-propagates and type check rejects non-vector input") {
     import spark.implicits._
     val r = vecDf(1, 4).select(

@@ -171,6 +171,31 @@ object GraftProps extends Properties("graft") {
         arr.tail.forall(p => java.lang.Long.bitCount(p ^ bucket) == 1)
     }
 
+  property("pq: encode is per-subspace argmin, adc matches naive twin, self-codebook adc is 0") =
+    forAll(vecGen, Gen.choose(1, 4), Gen.choose(1, 6)) { (v0, m0, codes) =>
+      val m = math.min(m0, v0.length)
+      val subDim = v0.length / m
+      val v = v0.take(m * subDim)
+      subDim == 0 || {
+        val cb = Array.tabulate(m, codes, subDim)((s, c, d) =>
+          graft.util.Det.double01(graft.util.Det.at(0x99eL + s * 31 + c, d.toLong)) * 4 - 2)
+        val flat = cb.flatten.flatten
+        val code = graft.functions.PqKernels.encode(fad(v), true, flat, m, codes, subDim)
+        def sd2(s: Int, c: Int): Double = (0 until subDim).map { d =>
+          val diff = v(s * subDim + d) - cb(s)(c)(d); diff * diff
+        }.sum
+        val argOk = (0 until m).forall(s =>
+          (code(s) & 0xff) == (0 until codes).minBy(c => (sd2(s, c), c)))
+        val adc = graft.functions.PqKernels.adc(fad(v), true, code, flat, m, codes, subDim)
+        val twin = (0 until m).map(s => sd2(s, code(s) & 0xff)).sum
+        // self-codebook: each subspace's code 0 IS the subvector
+        val self = Array.tabulate(m, 1, subDim)((s, _, d) => v(s * subDim + d).toDouble).flatten.flatten
+        val selfCode = graft.functions.PqKernels.encode(fad(v), true, self, m, 1, subDim)
+        val selfAdc = graft.functions.PqKernels.adc(fad(v), true, selfCode, self, m, 1, subDim)
+        argOk && math.abs(adc - twin) < 1e-9 && selfAdc == 0.0
+      }
+    }
+
   property("sig agreement: symmetric, bounded, k iff equal; band keys: equal slices share keys") =
     forAll(Gen.choose(1, 4), Gen.listOfN(8, Gen.choose(0L, 9L)), Gen.listOfN(8, Gen.choose(0L, 9L))) {
       (bands0, as, bs) =>

@@ -119,8 +119,10 @@ class PlanSpec extends AnyFunSuite {
         graft.util.Det.at(0xeedL + i, d.toLong)) * 2 - 1).toFloat).toSeq))
       .toDF("vec_id", "embedding")
     val cb = graft.ops.Similarity.trainIvf(emb, 16, nCentroids = 4, iters = 1)
+    val pqcb = graft.ops.Similarity.trainPq(emb, 16, m = 4, codes = 4, iters = 1)
     val plans = Seq(
       "ivfTopK" -> graft.ops.Similarity.ivfTopK(emb, emb.limit(4), 16, cb, k = 3),
+      "ivfPqTopK" -> graft.ops.Similarity.ivfPqTopK(emb, emb.limit(4), 16, cb, pqcb, k = 3),
       "annTopK" -> graft.ops.Similarity.annTopK(emb, emb.limit(4), 16, k = 3, planes = 4),
       "bruteForceTopK" -> graft.ops.Similarity.bruteForceTopK(emb, Seq.fill(16)(0.1f), 3),
       "embeddingNearDups" -> graft.ops.Similarity.embeddingNearDups(emb, 16, 0.99),
