@@ -3,7 +3,7 @@ package graft
 import graft.gen.Corpus
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.pipe.{ExtractJob, StructureJob}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -308,6 +308,39 @@ object SparkEntry {
           round(cume_dist().over(w), 4).as("cd"),
           round(first_value(col("o_totalprice")).over(w), 2).as("cheapest"))
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
+    "q29_html_strip" -> ((s, dir) => {
+      // HTML boilerplate strip (north_rule surface): each document's
+      // text wrapped in a deterministic page (script/style/comments,
+      // nav chrome, entities), stripped back to visible text by
+      // ops.Html.stripHtml. Identical page construction in the DuckDB
+      // oracle — the strip chain itself is what's being verified.
+      s.read.parquet(p(dir, "documents"))
+        .select(col("doc_id"),
+          graft.ops.Html.stripHtml(synthPage(col("text"))).as("visible_text"))
+        .withColumn("n_chars", length(col("visible_text")))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q30_html_main_content" -> ((s, dir) => {
+      // DOM-heuristic main-content selection (north_rule surface):
+      // block split on closing block tags, keep blocks with >= 5 words
+      // and <= 1 link per 5 words, reassemble in document order. The
+      // nav and footer chrome of the synthetic page must drop; the two
+      // body paragraphs must survive.
+      graft.ops.Html.mainContent(
+        s.read.parquet(p(dir, "documents")).select(col("doc_id"),
+          synthPage(col("text")).as("html")),
+        col("html"), col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q31_tfidf" -> ((s, dir) => {
+      // smoothed TF-IDF top-3 terms per document (term weighting for
+      // curation: two hash aggs + a broadcast count + a rank window)
+      TextAnalysis.tfidfTop(s.read.parquet(p(dir, "documents")), k = 3)
+        .orderBy(col("doc_id"), col("rn"))
     }),
 
     "q24_window_frames" -> ((s, dir) => {
@@ -652,6 +685,43 @@ object SparkEntry {
     }.toDF("media_ref", "bytes")
   }
 
+  /** Deterministic synthetic page wrapping a document's text (q29/q30):
+    * head with style+script bodies, a comment, a link-dense nav (drops
+    * by the link rule: 7 words, 3 links), the document text + a fixed
+    * closing paragraph as the two content blocks, and a short link
+    * footer (drops by the min-words rule). Only double quotes inside,
+    * so the identical bytes embed as single-quoted literals in the
+    * DuckDB oracle.
+    */
+  private[graft] val pageHead: String =
+    "<html><head><title>Doc</title><style>p { color: red; }</style>" +
+      "<script type=\"text/javascript\">var x = 1 < 2;</script></head><body>" +
+      "<!-- chrome --><nav><a href=\"/\">home</a> <a href=\"/a\">about</a> " +
+      "<a href=\"/c\">contact</a> menu links</nav>" +
+      "<div id=\"main\"><p>Fish &amp; chips &lt;b&gt; today: "
+  private[graft] val pageMid: String =
+    "</p><p>This closing paragraph carries enough plain words to stay.</p></div>"
+  private[graft] val pageTail: String =
+    "<div class=\"footer\"><a href=\"/t\">terms</a> &copy; 2026</div></body></html>"
+
+  private def synthPage(text: Column): Column =
+    concat(lit(pageHead), text, lit(pageMid + pageTail))
+
+  /** DuckDB twin of [[graft.ops.Html.stripHtml]] over a SQL expression
+    * (same regexes — RE2-compatible by construction — same entity
+    * order, same whitespace collapse).
+    */
+  private def duckStrip(e: String): String =
+    s"""trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace($e,
+       |      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+       |      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+       |      '(?s)<!--.*?-->', ' ', 'g'),
+       |      '<[^>]*>', ' ', 'g'),
+       |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |    '&#39;', ''''), '&amp;', '&'),
+       |  '\\s+', ' ', 'g'))""".stripMargin
+
   private def embDim(s: SparkSession, dir: String): Int =
     s.read.parquet(p(dir, "embeddings")).select(size(col("embedding"))).head().getInt(0)
 
@@ -936,6 +1006,60 @@ object SparkEntry {
         |FROM orders WHERE o_custkey <= 120
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q29_html_strip" ->
+      s"""WITH pg AS (
+         |  SELECT doc_id, '$pageHead' || text || '${pageMid + pageTail}' AS html
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id, ${duckStrip("html")} AS visible_text FROM pg)
+         |SELECT doc_id, visible_text, length(visible_text) AS n_chars
+         |FROM st ORDER BY doc_id""".stripMargin,
+
+    "q30_html_main_content" ->
+      s"""WITH pg AS (
+         |  SELECT doc_id, '$pageHead' || text || '${pageMid + pageTail}' AS html
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, s.idx - 1 AS block_pos, s.block AS block_html FROM pg,
+         |    LATERAL (SELECT unnest(string_split_regex(html, '${graft.ops.Html.blockSplitRe}')) AS block,
+         |                    generate_subscripts(string_split_regex(html, '${graft.ops.Html.blockSplitRe}'), 1) AS idx) s),
+         |t AS (
+         |  SELECT doc_id, block_pos,
+         |    ${duckStrip("block_html")} AS block_text,
+         |    len(regexp_extract_all(block_html, '(?i)<a[\\s>]')) AS n_links
+         |  FROM b),
+         |sc AS (
+         |  SELECT doc_id, block_pos, block_text, n_links,
+         |    CASE WHEN block_text = '' THEN 0
+         |         ELSE len(string_split(block_text, ' ')) END AS n_words
+         |  FROM t),
+         |k AS (
+         |  SELECT *, (n_words >= 5 AND n_links * 5 <= n_words) AS keep FROM sc)
+         |SELECT doc_id, count(*) AS n_blocks,
+         |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  coalesce(string_agg(CASE WHEN keep THEN block_text END,
+         |                      chr(10) || chr(10) ORDER BY block_pos), '') AS main_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q31_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                                    x -> x <> '')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf, dfq.df,
+        |    round(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dfq.df + 1)) + 1), 4) AS tfidf
+        |  FROM tf JOIN dfq USING (word), n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY tfidf DESC, word) AS rn
+        |  FROM scored)
+        |SELECT doc_id, word, tf, df, tfidf, rn FROM ranked
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
 
     "q24_window_frames" ->
       """SELECT o_custkey, o_orderkey,

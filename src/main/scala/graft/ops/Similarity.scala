@@ -181,9 +181,25 @@ object Similarity {
     require(sampleCap >= codes, "sampleCap must cover the centroid init")
     val subDim = dim / m
     val sample = detSample(embeddings, idCol, vecCol, sampleCap).persist()
-    try Array.tabulate(m) { s =>
-      lloyd(sample, slice(col("v"), s * subDim + 1, subDim), codes, iters)
-    } finally sample.unpersist()
+    // the m subspace trainings are independent — overlap their (many,
+    // tiny) Spark jobs on a driver-side pool so training wall-clock is
+    // ~one subspace, not m of them; each training is deterministic on
+    // its own, so the result is identical to the sequential order
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val trained = (0 until m).map { s =>
+        scala.concurrent.Future(
+          lloyd(sample, slice(col("v"), s * subDim + 1, subDim), codes, iters))
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(trained),
+        scala.concurrent.duration.Duration.Inf).toArray
+    } finally {
+      pool.shutdown()
+      sample.unpersist()
+    }
   }
 
   /** IVF-PQ ANN top-k with exact re-rank — the 10^12-vector shape of

@@ -71,6 +71,33 @@ object TextAnalysis {
           (lit(1.0) - least(col("punct_ratio") * 4, lit(0.5))), 4))
   }
 
+  /** Smoothed TF-IDF top-k terms per document (the term-weighting
+    * stage of a curation pipeline: distinctive-vocabulary features,
+    * keyword extraction). tfidf = tf * (ln((N+1)/(df+1)) + 1) —
+    * the sklearn-style smooth form, so unseen-df edge cases are
+    * total. Two hash aggregations (tf, then df over the already-
+    * distinct (doc, word) pairs — never a second corpus pass) plus
+    * one broadcast of the single-row corpus count; the per-doc top-k
+    * is a rank window. Ties break lexicographically for determinism.
+    */
+  def tfidfTop(docs: DataFrame, k: Int = 3,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = docs.select(col(idCol).as("doc_id"),
+      explode(toks(col(textCol))).as("word"))
+    val tf = tokens.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("word"))
+    tf.join(dfreq, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"), col("rn"))
+  }
+
   /** Rolling polynomial fingerprint (Rabin-Karp family) of the
     * normalized text — cheap locality-free doc identity; md5 variant in
     * [[Dedup.fingerprint]] for the SQL-oracle-friendly form.
