@@ -343,6 +343,34 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rn"))
     }),
 
+    "q32_gopher_quality" -> ((s, dir) =>
+      // Gopher-rule quality gate (Rae et al. A1.1, occurrence-fraction
+      // repetition variant): relational lead-window n-grams, doc-keyed
+      // shuffles only
+      TextAnalysis.gopherQuality(s.read.parquet(p(dir, "documents")))
+        .orderBy(col("doc_id"))),
+
+    "q33_pii_scrub" -> ((s, dir) => {
+      // PII count + redaction over a deterministic injected contact
+      // block (both engines build the identical text, then scrub with
+      // the same RE2-compatible patterns)
+      val docs = s.read.parquet(p(dir, "documents"))
+        .select(col("doc_id"), concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +62-555-"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" via https://ex.org/d/"), col("doc_id").cast("string"),
+          lit(" now")).as("text"))
+      TextAnalysis.piiScrub(docs).orderBy(col("doc_id"))
+    }),
+
+    "q34_curation_verdict" -> ((s, dir) =>
+      // the composed keep/drop decision: exact-dup keeper x composite
+      // quality x language x Gopher gate, per-rule flags queryable
+      graft.ops.Curation.verdict(s.read.parquet(p(dir, "documents")))
+        .orderBy(col("doc_id"))),
+
     "q24_window_frames" -> ((s, dir) => {
       // lag/lead + running aggregate window frames (SURVEY §2.8)
       val w = Window.partitionBy(col("o_custkey"))
@@ -616,6 +644,14 @@ object SparkEntry {
       s.table(name).orderBy(col("doc_id"), col("offset"))
     }),
 
+    "x25_curation_full" -> ((s, dir) =>
+      // the full curation verdict including MinHash near-dup losers
+      // (approximate by contract -> rows-only; the SQL-expressible
+      // slice is oracle-checked as q34, the near-dup addition is
+      // CurationSpec-tested on planted pairs)
+      graft.ops.Curation.verdictFull(s.read.parquet(p(dir, "documents")))
+        .orderBy(col("doc_id"))),
+
     "x24_ivfpq_ann" -> ((s, dir) => {
       // IVF-PQ with exact re-rank (rows-only: approximate by contract;
       // recall is spec-asserted on planted clusters). The 10^12-vector
@@ -721,6 +757,93 @@ object SparkEntry {
        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
        |    '&#39;', ''''), '&amp;', '&'),
        |  '\\s+', ' ', 'g'))""".stripMargin
+
+  /** DuckDB CTE chain computing [[graft.ops.TextAnalysis.gopherQuality]]
+    * over `documents`, ending in `gq2` (all columns + gopher_keep).
+    * Shared by the q32 and q34 oracles. Plain (non-interpolated)
+    * literal so the regex backslashes stay single.
+    */
+  private val duckGopherCtes: String =
+    """toks0 AS (
+      |  SELECT doc_id, t.p - 1 AS p, t.w FROM documents,
+      |    LATERAL (SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS w,
+      |             generate_subscripts(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''), 1) AS p) t),
+      |gr AS (
+      |  SELECT doc_id, p, w,
+      |    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY p) AS w1,
+      |    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+      |  FROM toks0),
+      |bi AS (
+      |  SELECT doc_id, max(c)::BIGINT AS max_bi, sum(c)::BIGINT AS tot_bi FROM (
+      |    SELECT doc_id, w || ' ' || w1 AS gkey, count(*) AS c
+      |    FROM gr WHERE w1 IS NOT NULL GROUP BY 1, 2) bq GROUP BY 1),
+      |tri AS (
+      |  SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup_tri,
+      |         sum(c)::BIGINT AS tot_tri FROM (
+      |    SELECT doc_id, w || ' ' || w1 || ' ' || w2 AS gkey, count(*) AS c
+      |    FROM gr WHERE w2 IS NOT NULL GROUP BY 1, 2) tq GROUP BY 1),
+      |wstats AS (
+      |  SELECT doc_id, count(*) AS n_words, avg(length(w)) AS mwl,
+      |    sum(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END)::BIGINT AS alpha_words,
+      |    sum(CASE WHEN w IN ('the','be','to','of','and','that','have','with')
+      |             THEN 1 ELSE 0 END)::BIGINT AS req_stop_hits
+      |  FROM toks0 GROUP BY 1),
+      |sym AS (
+      |  SELECT doc_id, (len(regexp_extract_all(text, '#'))
+      |    + len(regexp_extract_all(text, '\.\.\.')))::BIGINT AS n_symbols
+      |  FROM documents),
+      |gq AS (
+      |  SELECT sym.doc_id,
+      |    coalesce(n_words, 0) AS n_words,
+      |    round(coalesce(mwl, 0.0), 4) AS mean_word_len,
+      |    round(n_symbols::DOUBLE / greatest(coalesce(n_words, 0), 1), 4) AS symbol_word_ratio,
+      |    round(coalesce(alpha_words, 0)::DOUBLE / greatest(coalesce(n_words, 0), 1), 4) AS frac_alpha_words,
+      |    coalesce(req_stop_hits, 0) AS req_stop_hits,
+      |    round(coalesce(max_bi, 0)::DOUBLE / greatest(coalesce(tot_bi, 0), 1), 4) AS top_bigram_frac,
+      |    round(coalesce(dup_tri, 0)::DOUBLE / greatest(coalesce(tot_tri, 0), 1), 4) AS dup_trigram_frac
+      |  FROM sym LEFT JOIN wstats ON sym.doc_id = wstats.doc_id
+      |    LEFT JOIN bi ON sym.doc_id = bi.doc_id
+      |    LEFT JOIN tri ON sym.doc_id = tri.doc_id),
+      |gq2 AS (
+      |  SELECT *, (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+      |    AND symbol_word_ratio <= 0.1 AND frac_alpha_words >= 0.8 AND req_stop_hits >= 2
+      |    AND top_bigram_frac <= 0.2 AND dup_trigram_frac <= 0.3) AS gopher_keep
+      |  FROM gq)""".stripMargin
+
+  /** DuckDB CTE for the q11 composite quality score (same formula as
+    * the q11 oracle) — `qual(doc_id, quality_score)`.
+    */
+  private val duckQualCte: String =
+    """qual AS (
+      |  SELECT doc_id,
+      |    round(least(1.0, len(toksq)::DOUBLE / 100.0)
+      |      * (CASE WHEN round(list_sum(list_transform(toksq, x -> length(x)))::DOUBLE
+      |               / greatest(len(toksq), 1), 4) BETWEEN 3.0 AND 10.0
+      |              THEN 1.0 ELSE 0.5 END)
+      |      * (1.0 - least(round((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))::DOUBLE
+      |               / greatest(length(text), 1), 4) * 4, 0.5)), 4) AS quality_score
+      |  FROM (SELECT doc_id, text,
+      |          list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toksq
+      |        FROM documents) tqq)""".stripMargin
+
+  /** DuckDB CTE for the q12 marker-heuristic language —
+    * `lang(doc_id, predicted_lang)`.
+    */
+  private val duckLangCte: String = {
+    val en = TextAnalysis.enMarkers.map(m => s"'$m'").mkString(",")
+    val id = TextAnalysis.idMarkers.map(m => s"'$m'").mkString(",")
+    s"""lang AS (
+       |  SELECT doc_id,
+       |    CASE WHEN en_hits > id_hits THEN 'en'
+       |         WHEN id_hits > en_hits THEN 'id'
+       |         WHEN en_hits > 0 THEN 'en' ELSE 'und' END AS predicted_lang
+       |  FROM (SELECT doc_id,
+       |          len(list_filter(toksl, x -> x IN ($en))) AS en_hits,
+       |          len(list_filter(toksl, x -> x IN ($id))) AS id_hits
+       |        FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+       |                                         x -> x <> '') AS toksl
+       |              FROM documents) tl) tl2)""".stripMargin
+  }
 
   private def embDim(s: SparkSession, dir: String): Int =
     s.read.parquet(p(dir, "embeddings")).select(size(col("embedding"))).head().getInt(0)
@@ -1060,6 +1183,52 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, word, tf, df, tfidf, rn FROM ranked
         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    "q32_gopher_quality" ->
+      s"""WITH $duckGopherCtes
+         |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+         |  frac_alpha_words, req_stop_hits, top_bigram_frac,
+         |  dup_trigram_frac, gopher_keep
+         |FROM gq2 ORDER BY doc_id""".stripMargin,
+
+    "q33_pii_scrub" ->
+      """WITH pii AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id::VARCHAR
+        |    || '@example.com or +62-555-'
+        |    || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+        |    || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |    || ' via https://ex.org/d/' || doc_id::VARCHAR || ' now' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, 'https?://[^\s]+'))::BIGINT AS n_urls,
+        |  len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(t, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        |FROM pii ORDER BY doc_id""".stripMargin,
+
+    "q34_curation_verdict" ->
+      s"""WITH $duckGopherCtes,
+         |$duckQualCte,
+         |$duckLangCte,
+         |keepers AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+         |SELECT d.doc_id,
+         |  (k.doc_id IS NOT NULL) AS is_exact_keeper,
+         |  qual.quality_score,
+         |  lang.predicted_lang,
+         |  gq2.gopher_keep,
+         |  (k.doc_id IS NOT NULL AND qual.quality_score >= 0.3
+         |   AND lang.predicted_lang IN ('en', 'id') AND gq2.gopher_keep) AS keep
+         |FROM documents d
+         |LEFT JOIN keepers k ON d.doc_id = k.doc_id
+         |JOIN qual ON d.doc_id = qual.doc_id
+         |JOIN lang ON d.doc_id = lang.doc_id
+         |JOIN gq2 ON d.doc_id = gq2.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q24_window_frames" ->
       """SELECT o_custkey, o_orderkey,

@@ -98,6 +98,104 @@ object TextAnalysis {
       .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"), col("rn"))
   }
 
+  /** The eight Gopher "required stopwords" (Rae et al. 2021, A1.1):
+    * a document must contain at least two to pass the gate.
+    */
+  val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality gate (Rae et al. 2021 A1.1 rule family, the
+    * occurrence-fraction variant of the repetition rules): per-doc
+    * word-count bounds, mean word length, symbol-to-word ratio
+    * ('#'/'...'), alphabetic-word fraction, required-stopword hits,
+    * top-bigram fraction, duplicate-trigram fraction, and the composite
+    * keep flag.
+    *
+    * Fully relational n-gram construction — tokens posexplode once,
+    * bigrams/trigrams come from `lead` windows over (doc, pos), then
+    * hash-aggregate per (doc, gram): no interpreted lambda anywhere,
+    * and the only shuffles are keyed on doc_id(+gram), so the operator
+    * scales as independent per-document groups.
+    */
+  def gopherQuality(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("n_symbols",
+        (regexp_count(col("__t"), lit("#")) +
+          regexp_count(col("__t"), lit("\\.\\.\\."))).cast("long"))
+    val tokens = base
+      .select(col("doc_id"), posexplode(toks(col("__t"))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val grams = tokens
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .withColumn("w2", lead(col("w"), 2).over(w))
+    val bi = grams.filter(col("w1").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("w"), col("w1")).as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_bi"), sum(col("c")).as("tot_bi"))
+    val tri = grams.filter(col("w2").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tri"),
+        sum(col("c")).as("tot_tri"))
+    val stats = tokens.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_words"),
+      avg(length(col("w"))).as("mwl"),
+      sum(when(col("w").rlike("[a-z]"), 1L).otherwise(0L)).as("alpha_words"),
+      sum(when(col("w").isin(gopherStops.map(s => s: Any): _*), 1L).otherwise(0L))
+        .as("req_stop_hits"))
+    base.select(col("doc_id"), col("n_symbols"))
+      .join(stats, Seq("doc_id"), "left")
+      .join(bi, Seq("doc_id"), "left")
+      .join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        round(coalesce(col("mwl"), lit(0.0)), 4).as("mean_word_len"),
+        round(col("n_symbols").cast("double") /
+          greatest(coalesce(col("n_words"), lit(0L)), lit(1L)), 4).as("symbol_word_ratio"),
+        round(coalesce(col("alpha_words"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_words"), lit(0L)), lit(1L)), 4).as("frac_alpha_words"),
+        coalesce(col("req_stop_hits"), lit(0L)).as("req_stop_hits"),
+        round(coalesce(col("max_bi"), lit(0L)).cast("double") /
+          greatest(coalesce(col("tot_bi"), lit(0L)), lit(1L)), 4).as("top_bigram_frac"),
+        round(coalesce(col("dup_tri"), lit(0L)).cast("double") /
+          greatest(coalesce(col("tot_tri"), lit(0L)), lit(1L)), 4).as("dup_trigram_frac"))
+      .withColumn("gopher_keep",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_word_ratio") <= 0.1 &&
+          col("frac_alpha_words") >= 0.8 &&
+          col("req_stop_hits") >= 2L &&
+          col("top_bigram_frac") <= 0.2 &&
+          col("dup_trigram_frac") <= 0.3)
+  }
+
+  /** PII patterns (RE2-compatible — same semantics in the DuckDB
+    * oracle): URLs first (they may embed '@'), then emails, then
+    * international dashed phone numbers.
+    */
+  val urlRe = "https?://[^\\s]+"
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub for training corpora: count then redact URLs, emails,
+    * and phone numbers with typed placeholders. One codegen'd regexp
+    * projection — map-side only, no shuffle.
+    */
+  def piiScrub(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol).as("doc_id"),
+      regexp_count(t, lit(urlRe)).cast("long").as("n_urls"),
+      regexp_count(t, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(phoneRe)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        urlRe, "<URL>"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>").as("scrubbed"))
+  }
+
   /** Rolling polynomial fingerprint (Rabin-Karp family) of the
     * normalized text — cheap locality-free doc identity; md5 variant in
     * [[Dedup.fingerprint]] for the SQL-oracle-friendly form.
