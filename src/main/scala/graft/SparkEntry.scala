@@ -371,6 +371,14 @@ object SparkEntry {
       graft.ops.Curation.verdict(s.read.parquet(p(dir, "documents")))
         .orderBy(col("doc_id"))),
 
+    "q35_sessionize" -> ((s, dir) =>
+      // batch sessionization (the reference's 30-min SESSION_TIMEOUT,
+      // app.py:238, as a gap-and-island assignment; relational twin of
+      // the streaming sessionize operator)
+      graft.ops.Sessions.sessionize(s.read.parquet(p(dir, "events")),
+          tieBreak = Seq(col("event_id")))
+        .orderBy(col("user_id"), col("session_idx"))),
+
     "q24_window_frames" -> ((s, dir) => {
       // lag/lead + running aggregate window frames (SURVEY §2.8)
       val w = Window.partitionBy(col("o_custkey"))
@@ -1229,6 +1237,26 @@ object SparkEntry {
          |JOIN lang ON d.doc_id = lang.doc_id
          |JOIN gq2 ON d.doc_id = gq2.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q35_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sflag AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(us) AS session_start_us, max(us) AS session_end_us,
+        |  round(sum(value), 2) AS total_value
+        |FROM sflag GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
 
     "q24_window_frames" ->
       """SELECT o_custkey, o_orderkey,

@@ -337,8 +337,14 @@ object ExtractJob {
     val dataPath = s"$outDir/extracted"
     val snapshotId = inputSnapshotId(docs)
 
+    // existence probe instead of read-and-catch: a fresh outDir is the
+    // normal case, not an exception (and the failed read spams the logs
+    // with a FileNotFoundException stack on every first run)
+    val mHPath = new org.apache.hadoop.fs.Path(manifestPath)
+    val mFs = mHPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (committed: Set[Int], priorSnapshots: Set[String]) =
-      try {
+      if (!mFs.exists(mHPath)) (Set.empty[Int], Set.empty[String])
+      else try {
         val m = spark.read.parquet(manifestPath)
           .select($"bucket", $"input_snapshot_id").as[(Int, String)].collect()
         (m.map(_._1).toSet, m.map(_._2).toSet)

@@ -56,6 +56,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(u2.length == 1 && u2(0).getLong(1) == 1L && u2(0).getDouble(2) == 16.0)
   }
 
+  test("batch sessionize twin agrees with the streaming operator on closed sessions") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000)
+    val events = Seq(
+      StreamingJobs.Event(1L, ts(0), "click", 1.0),
+      StreamingJobs.Event(1L, ts(5), "click", 2.0),
+      StreamingJobs.Event(1L, ts(35), "click", 4.0),  // gap exactly 30 min: SAME session
+      StreamingJobs.Event(1L, ts(66), "buy", 8.0),    // gap 31 min: new session
+      StreamingJobs.Event(2L, ts(10), "click", 16.0))
+    val batch = graft.ops.Sessions.sessionize(events.toDF())
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    assert(batch == Set(
+      (1L, 1700000000000L * 1000, 3L, 7.0),
+      (1L, (1700000000000L + 66 * 60000) * 1000, 1L, 8.0),
+      (2L, (1700000000000L + 10 * 60000) * 1000, 1L, 16.0)))
+
+    // streaming twin on the same input (plus a watermark-driving tick
+    // that closes everything): identical closed-session set
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-twin")
+    (events :+ StreamingJobs.Event(99L, ts(600), "tick", 0.0))
+      .toDS().repartition(1).write.mode("overwrite").parquet(s"$dir/in")
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamingJobs.Event]].schema)
+      .parquet(s"$dir/in")
+      .as[StreamingJobs.Event]
+    val q = StreamingJobs.sessionize(src)
+      .writeStream.outputMode("append").format("memory").queryName("sess_twin")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_twin")
+      .filter(col("user_id") =!= 99L)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("first_ts").getTime * 1000,
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming extraction (stream-static media join) row-equals batch extractSpans") {
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
