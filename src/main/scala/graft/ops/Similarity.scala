@@ -132,19 +132,24 @@ object Similarity {
 
   /** `iters` Lloyd rounds over `sample` (columns `id`, and `vecExpr`
     * the float-array to cluster): init = first `nCentroids` in id-hash
-    * order, each round one distributed aggregation (posexplode to
-    * (cluster, dim) cells, mean per cell); empty clusters keep their
-    * previous centroid. The per-round `.collect()` is k x dim cell
-    * means, never data rows.
+    * order (or `init` when supplied, so callers training many
+    * codebooks over the same sample collect the init rows once), each
+    * round one distributed aggregation (posexplode to (cluster, dim)
+    * cells, mean per cell); empty clusters keep their previous
+    * centroid. The per-round `.collect()` is k x dim cell means,
+    * never data rows.
     */
   private def lloyd(sample: DataFrame, vecExpr: Column, nCentroids: Int,
-                    iters: Int): Array[Array[Double]] = {
-    var codebook: Array[Array[Double]] = sample
-      .select(col("id"), vecExpr.as("__tv"))
-      .orderBy(xxhash64(col("id")), col("id"))
-      .limit(nCentroids)
-      .collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+                    iters: Int,
+                    init: Array[Array[Double]] = null): Array[Array[Double]] = {
+    var codebook: Array[Array[Double]] =
+      if (init != null) init
+      else sample
+        .select(col("id"), vecExpr.as("__tv"))
+        .orderBy(xxhash64(col("id")), col("id"))
+        .limit(nCentroids)
+        .collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     var it = 0
     while (it < iters) {
       val assigned = sample
@@ -181,17 +186,26 @@ object Similarity {
     require(sampleCap >= codes, "sampleCap must cover the centroid init")
     val subDim = dim / m
     val sample = detSample(embeddings, idCol, vecCol, sampleCap).persist()
-    // the m subspace trainings are independent — overlap their (many,
-    // tiny) Spark jobs on a driver-side pool so training wall-clock is
-    // ~one subspace, not m of them; each training is deterministic on
-    // its own, so the result is identical to the sequential order
+    // one init collect for ALL subspaces (init = the same first-`codes`
+    // sample vectors, sliced per subspace — re-sorting the sample m
+    // times would spend m extra jobs on identical rows), then the m
+    // independent subspace trainings overlap their (many, tiny) Spark
+    // jobs on a driver-side pool so training wall-clock is ~one
+    // subspace, not m of them; each training is deterministic on its
+    // own, so the result is identical to the sequential order
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
+      val initFull: Array[Array[Double]] = sample
+        .orderBy(xxhash64(col("id")), col("id"))
+        .limit(codes)
+        .collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
       val trained = (0 until m).map { s =>
         scala.concurrent.Future(
-          lloyd(sample, slice(col("v"), s * subDim + 1, subDim), codes, iters))
+          lloyd(sample, slice(col("v"), s * subDim + 1, subDim), codes, iters,
+            init = initFull.map(_.slice(s * subDim, (s + 1) * subDim))))
       }
       scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(trained),

@@ -127,30 +127,44 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(toks(col("__t"))))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    val grams = tokens
+    // ONE token pass feeds everything: the lead window builds bigram/
+    // trigram strings, then each token row explodes into up to three
+    // kinded gram rows (tok/bi/tri) so a single (doc, kind, gram)
+    // hash aggregation and a single per-doc rollup replace what would
+    // otherwise be three separate scans+shuffles over the corpus —
+    // at 100 TB the difference between one window exchange and three.
+    val gramCounts = tokens
       .withColumn("w1", lead(col("w"), 1).over(w))
       .withColumn("w2", lead(col("w"), 2).over(w))
-    val bi = grams.filter(col("w1").isNotNull)
-      .groupBy(col("doc_id"), concat_ws(" ", col("w"), col("w1")).as("g"))
+      .select(col("doc_id"), explode(array(
+        struct(lit("tok").as("kind"), col("w").as("g")),
+        struct(lit("bi").as("kind"),
+          when(col("w1").isNotNull, concat_ws(" ", col("w"), col("w1"))).as("g")),
+        struct(lit("tri").as("kind"),
+          when(col("w2").isNotNull,
+            concat_ws(" ", col("w"), col("w1"), col("w2"))).as("g")))).as("e"))
+      .select(col("doc_id"), col("e.kind").as("kind"), col("e.g").as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy(col("doc_id"), col("kind"), col("g"))
       .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("max_bi"), sum(col("c")).as("tot_bi"))
-    val tri = grams.filter(col("w2").isNotNull)
-      .groupBy(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tri"),
-        sum(col("c")).as("tot_tri"))
-    val stats = tokens.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_words"),
-      avg(length(col("w"))).as("mwl"),
-      sum(when(col("w").rlike("[a-z]"), 1L).otherwise(0L)).as("alpha_words"),
-      sum(when(col("w").isin(gopherStops.map(s => s: Any): _*), 1L).otherwise(0L))
-        .as("req_stop_hits"))
+    val tok = col("kind") === "tok"
+    val bi = col("kind") === "bi"
+    val tri = col("kind") === "tri"
+    val stats = gramCounts.groupBy(col("doc_id")).agg(
+      sum(when(tok, col("c")).otherwise(0L)).as("n_words"),
+      // weighted mean == plain mean over token multiplicity (exact:
+      // integer sums, one IEEE division)
+      (sum(when(tok, length(col("g")) * col("c")).otherwise(0L)).cast("double") /
+        greatest(sum(when(tok, col("c")).otherwise(0L)), lit(1L))).as("mwl"),
+      sum(when(tok && col("g").rlike("[a-z]"), col("c")).otherwise(0L)).as("alpha_words"),
+      sum(when(tok && col("g").isin(gopherStops.map(s => s: Any): _*), col("c"))
+        .otherwise(0L)).as("req_stop_hits"),
+      max(when(bi, col("c"))).as("max_bi"),
+      sum(when(bi, col("c")).otherwise(0L)).as("tot_bi"),
+      sum(when(tri && col("c") > 1, col("c")).otherwise(0L)).as("dup_tri"),
+      sum(when(tri, col("c")).otherwise(0L)).as("tot_tri"))
     base.select(col("doc_id"), col("n_symbols"))
       .join(stats, Seq("doc_id"), "left")
-      .join(bi, Seq("doc_id"), "left")
-      .join(tri, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         round(coalesce(col("mwl"), lit(0.0)), 4).as("mean_word_len"),
