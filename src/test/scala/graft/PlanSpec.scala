@@ -139,6 +139,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher/sessionize funnel through ONE data shuffle (window exchange reused by aggs)") {
+    // groupBy keys that contain the window's partition key satisfy its
+    // clustering, so the gram aggregation (doc_id, kind, g), the
+    // per-doc rollup, and the session aggregation (user_id,
+    // session_idx) must all REUSE the single window exchange — a
+    // second hash exchange here would double the corpus shuffle at
+    // 100 TB. (AQE's executed-plan toString prints the final plan and
+    // the original, so counts are per-occurrence-halved by comparing
+    // against the doubled expectation.)
+    val g = graft.ops.TextAnalysis.gopherQuality(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    g.collect()
+    val gPlan = planOf(g)
+    val gHash = "Exchange hashpartitioning".r.findAllIn(gPlan).length
+    assert(gHash <= 2, s"gopherQuality: expected one data shuffle (x2 AQE print), got $gHash:\n$gPlan")
+    val s = graft.ops.Sessions.sessionize(
+      spark.read.parquet(s"$sfDir/events.parquet"), tieBreak = Seq(col("event_id")))
+    s.collect()
+    val sPlan = planOf(s)
+    val sHash = "Exchange hashpartitioning".r.findAllIn(sPlan).length
+    assert(sHash <= 2, s"sessionize: expected one data shuffle (x2 AQE print), got $sHash:\n$sPlan")
+  }
+
   test("OCR runs once per distinct content hash (cache semantics, C5/P1)") {
     // count kernel invocations via an accumulator-free proxy: the
     // distinct-content side row count equals distinct sha2 of media
