@@ -379,6 +379,48 @@ object SparkEntry {
           tieBreak = Seq(col("event_id")))
         .orderBy(col("user_id"), col("session_idx"))),
 
+    "q36_asof_join" -> ((s, dir) => {
+      // as-of join (union-window form — one key shuffle, no inequality
+      // join): each purchase matched to the user's most recent prior
+      // click; DuckDB's native ASOF LEFT JOIN is the oracle
+      val ev = s.read.parquet(p(dir, "events"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_event_id"))
+      graft.ops.Joins.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+          Seq("click_event_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("purchase_us"),
+          col("asof_time_us").as("click_us"),
+          col("asof_click_event_id").as("click_event_id"))
+        .withColumn("gap_us", col("purchase_us") - col("click_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q37_range_join" -> ((s, dir) => {
+      // range join (bucketed interval form — equi-join on (key,
+      // bucket), every pair exactly once): purchases inside each
+      // signup's 1-hour window, zero-count signups preserved
+      val ev = s.read.parquet(p(dir, "events"))
+      val hourUs = 3600000000L
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("signup_us"))
+        .withColumn("end_us", col("signup_us") + hourUs)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("p_us"))
+      val pairs = graft.ops.Joins.rangeJoin(purchases, signups, "user_id",
+        "p_us", "signup_us", "end_us", bucketUs = hourUs)
+      signups
+        .join(pairs.groupBy(col("signup_id")).agg(count(lit(1)).as("n")),
+          Seq("signup_id"), "left")
+        .select(col("signup_id"), col("user_id"), col("signup_us"),
+          coalesce(col("n"), lit(0L)).as("n_purchases"))
+        .orderBy(col("signup_id"))
+    }),
+
     "q24_window_frames" -> ((s, dir) => {
       // lag/lead + running aggregate window frames (SURVEY §2.8)
       val w = Window.partitionBy(col("o_custkey"))
@@ -1257,6 +1299,33 @@ object SparkEntry {
         |  min(us) AS session_start_us, max(us) AS session_end_us,
         |  round(sum(value), 2) AS total_value
         |FROM sflag GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    "q36_asof_join" ->
+      """WITH pch AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS purchase_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |clk AS (
+        |  SELECT user_id, epoch_us(ts) AS click_us, event_id AS click_event_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.purchase_us,
+        |  c.click_us, c.click_event_id,
+        |  p.purchase_us - c.click_us AS gap_us
+        |FROM pch p ASOF LEFT JOIN clk c
+        |  ON p.user_id = c.user_id AND p.purchase_us >= c.click_us
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q37_range_join" ->
+      """WITH s AS (
+        |  SELECT event_id AS signup_id, user_id, epoch_us(ts) AS signup_us
+        |  FROM events WHERE event_type = 'signup'),
+        |pch AS (
+        |  SELECT user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT s.signup_id, s.user_id, s.signup_us,
+        |  count(pch.p_us) AS n_purchases
+        |FROM s LEFT JOIN pch ON s.user_id = pch.user_id
+        |  AND pch.p_us >= s.signup_us AND pch.p_us < s.signup_us + 3600000000
+        |GROUP BY 1, 2, 3 ORDER BY signup_id""".stripMargin,
 
     "q24_window_frames" ->
       """SELECT o_custkey, o_orderkey,

@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.Joins
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JoinsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-joins")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+  test("asofJoin picks the LATEST prior right row; equal time matches; no prior -> null") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val left = Seq(
+      (1L, 10L, ts(100)),  // after r@40 and r@90 -> 90
+      (1L, 11L, ts(40)),   // exactly at r@40 -> 40 (>= semantics)
+      (1L, 12L, ts(5)),    // before any right row -> null
+      (2L, 20L, ts(500))   // key with no right rows -> null
+    ).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, 90L, ts(40)),
+      (1L, 91L, ts(90)),
+      (3L, 92L, ts(1))     // other key, never matches
+    ).toDF("user_id", "rid", "ts")
+    val out = Joins.asofJoin(left, right, "user_id", "ts", "ts", Seq("rid"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("asof_time_us")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("asof_rid")).map(_.toLong))).toMap
+    assert(out(10L) == (Some(90000000L), Some(91L)))
+    assert(out(11L) == (Some(40000000L), Some(90L)))
+    assert(out(12L) == (None, None))
+    assert(out(20L) == (None, None))
+  }
+
+  test("rangeJoin: [start, end) boundaries, bucket-crossing intervals, each pair once") {
+    import spark.implicits._
+    // bucket = 100 us; interval [150, 350) spans buckets 1..3
+    val intervals = Seq((1L, 7L, 150L, 350L)).toDF("k", "iid", "s", "e")
+    val points = Seq(
+      (1L, 100L, 149L),  // just before start -> no match
+      (1L, 101L, 150L),  // at start (inclusive) -> match
+      (1L, 102L, 250L),  // middle bucket -> match
+      (1L, 103L, 349L),  // just before end -> match
+      (1L, 104L, 350L),  // at end (exclusive) -> no match
+      (2L, 105L, 250L)   // wrong key -> no match
+    ).toDF("k", "pid", "pus")
+    val out = Joins.rangeJoin(points, intervals, "k", "pus", "s", "e", bucketUs = 100L)
+      .select(col("pid")).collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(101L, 102L, 103L))
+    // a tighter bucket (interval covers many buckets) changes nothing
+    val out2 = Joins.rangeJoin(points, intervals, "k", "pus", "s", "e", bucketUs = 7L)
+      .select(col("pid")).collect().map(_.getLong(0)).sorted
+    assert(out2.toSeq == Seq(101L, 102L, 103L))
+  }
+}
