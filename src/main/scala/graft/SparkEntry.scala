@@ -421,6 +421,19 @@ object SparkEntry {
         .orderBy(col("signup_id"))
     }),
 
+    "q38_heavy_hitters" -> ((s, dir) => {
+      // two-pass sketch heavy hitters: Misra-Gries candidates (O(k)
+      // state, guaranteed superset of everything above n/(k+1)) ->
+      // exact recount of candidates only -> threshold. Output is
+      // provably equal to the plain group-count-HAVING query, which
+      // is the DuckDB oracle — the sketch guarantee, checked.
+      val toks = filter(split(lower(col("text")), "\\W+"), t => t =!= "")
+      val words = s.read.parquet(p(dir, "documents"))
+        .select(explode(toks).as("word"))
+      graft.ops.Sketches.heavyHitters(words, k = 64)
+        .orderBy(col("word"))
+    }),
+
     "q24_window_frames" -> ((s, dir) => {
       // lag/lead + running aggregate window frames (SURVEY §2.8)
       val w = Window.partitionBy(col("o_custkey"))
@@ -692,6 +705,21 @@ object SparkEntry {
       q.processAllAvailable()
       q.stop()
       s.table(name).orderBy(col("doc_id"), col("offset"))
+    }),
+
+    "x26_kmv_distinct" -> ((s, dir) => {
+      // KMV distinct-count sketch per source (rows-only: the estimate
+      // is sketch-defined, not SQL; exactness/error/partitioning
+      // invariance are SketchesSpec-asserted). Exact distinct shown
+      // alongside for the visible error.
+      val kmv = udaf(new graft.ops.Sketches.KmvDistinct(256),
+        org.apache.spark.sql.Encoders.scalaLong)
+      s.read.parquet(p(dir, "documents"))
+        .groupBy(col("source"))
+        .agg(kmv(xxhash64(col("text"))).as("est_distinct"),
+          countDistinct(col("text")).as("exact_distinct"))
+        .withColumn("abs_err", abs(col("est_distinct") - col("exact_distinct")))
+        .orderBy(col("source"))
     }),
 
     "x25_curation_full" -> ((s, dir) =>
@@ -1326,6 +1354,16 @@ object SparkEntry {
         |FROM s LEFT JOIN pch ON s.user_id = pch.user_id
         |  AND pch.p_us >= s.signup_us AND pch.p_us < s.signup_us + 3600000000
         |GROUP BY 1, 2, 3 ORDER BY signup_id""".stripMargin,
+
+    "q38_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                            x -> x <> '')) AS word
+        |  FROM documents),
+        |n AS (SELECT count(*) AS total FROM toks),
+        |c AS (SELECT word, count(*) AS n FROM toks GROUP BY 1)
+        |SELECT c.word, c.n FROM c, n
+        |WHERE c.n > n.total / 65.0 ORDER BY c.word""".stripMargin,
 
     "q24_window_frames" ->
       """SELECT o_custkey, o_orderkey,

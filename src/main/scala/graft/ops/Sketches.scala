@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketch aggregators (the "novel sketch" custom-operator
+  * surface): distinct-count and heavy-hitters summaries that reduce
+  * map-side and merge associatively, so at 100 TB each is one hash
+  * aggregation whose state is O(k) per group regardless of input
+  * size. Both are hash/counter deterministic — no RNG.
+  */
+object Sketches {
+
+  /** K-minimum-values distinct-count sketch: keep the k smallest
+    * 64-bit hashes in UNSIGNED order; the k-th minimum's normalized
+    * position estimates the distinct count as (k-1)/u. Exact below k
+    * distinct. Merge = sorted distinct union, take k — fully
+    * order-independent, so the estimate is identical under ANY
+    * partitioning (spec-asserted). Buffer stores sign-flipped hashes
+    * (unsigned order == signed order after flip), sorted ascending.
+    */
+  class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Long]
+      with Serializable {
+    require(k >= 2, "k >= 2")
+
+    private def flip(h: Long): Long = h ^ Long.MinValue
+
+    override def zero: Array[Long] = Array.empty[Long]
+
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      val f = flip(h)
+      val pos = java.util.Arrays.binarySearch(b, f)
+      if (pos >= 0) b // hash already tracked
+      else {
+        val ins = -pos - 1
+        if (b.length < k) {
+          val nb = new Array[Long](b.length + 1)
+          System.arraycopy(b, 0, nb, 0, ins)
+          nb(ins) = f
+          System.arraycopy(b, ins, nb, ins + 1, b.length - ins)
+          nb
+        } else if (ins >= k) b // not below the current k-th minimum
+        else {
+          val nb = new Array[Long](k)
+          System.arraycopy(b, 0, nb, 0, ins)
+          nb(ins) = f
+          System.arraycopy(b, ins, nb, ins + 1, k - ins - 1) // max falls off
+          nb
+        }
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val all = new Array[Long](a.length + b.length)
+      System.arraycopy(a, 0, all, 0, a.length)
+      System.arraycopy(b, 0, all, a.length, b.length)
+      java.util.Arrays.sort(all)
+      val out = new Array[Long](math.min(all.length, k))
+      var i = 0; var n = 0
+      while (i < all.length && n < k) {
+        if (i == 0 || all(i) != all(i - 1)) { out(n) = all(i); n += 1 }
+        i += 1
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    override def finish(b: Array[Long]): Long =
+      if (b.length < k) b.length.toLong
+      else {
+        // normalized position of the k-th minimum in [0, 1)
+        val u = (b(k - 1).toDouble + 9.223372036854776e18) / 1.8446744073709552e19
+        math.round((k - 1) / math.max(u, Double.MinPositiveValue))
+      }
+
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Misra-Gries heavy-hitters summary, k counters: any item with
+    * true frequency > n/(k+1) is GUARANTEED present in the final
+    * candidate set (the classic bound; merges use the mergeable-
+    * summaries combine-and-subtract form, which preserves it). The
+    * candidate set itself is arrival-order dependent near the
+    * boundary — use [[heavyHitters]] for a deterministic final
+    * answer (candidates -> exact recount -> threshold).
+    */
+  class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Seq[String]]
+      with Serializable {
+    require(k >= 1, "k >= 1")
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(m: Map[String, Long], w: String): Map[String, Long] =
+      m.get(w) match {
+        case Some(c) => m.updated(w, c + 1)
+        case None if m.size < k => m.updated(w, 1L)
+        case None => // decrement-all step; zeros drop
+          m.collect { case (key, c) if c > 1 => key -> (c - 1) }
+      }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = (a.keySet ++ b.keySet).iterator
+        .map(key => key -> (a.getOrElse(key, 0L) + b.getOrElse(key, 0L))).toMap
+      if (sum.size <= k) sum
+      else {
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k) // (k+1)-th largest
+        sum.collect { case (key, c) if c > cut => key -> (c - cut) }
+      }
+    }
+
+    override def finish(m: Map[String, Long]): Seq[String] = m.keys.toSeq.sorted
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+  }
+
+  /** Exact heavy hitters via the two-pass sketch protocol: one
+    * Misra-Gries pass yields <= k candidates (guaranteed to contain
+    * every item with frequency > n/(k+1)), a second pass exactly
+    * counts ONLY the candidates (a broadcast-filterable set), and the
+    * threshold keeps exactly the true heavy hitters — deterministic
+    * output equal to the plain group-count-HAVING query, at two scans
+    * and O(k) state instead of a full-cardinality aggregation.
+    *
+    * Input: one `word` column. Output: (word, n) for every word with
+    * n > total/(k+1).
+    */
+  def heavyHitters(words: DataFrame, k: Int = 64): DataFrame = {
+    val mg = udaf(new MisraGries(k), Encoders.STRING)
+    val candidates: Seq[String] = words
+      .agg(mg(col("word")).as("cands"))
+      .head().getSeq[String](0)
+    val total = words.agg(count(lit(1)).as("total"))
+    if (candidates.isEmpty)
+      words.sparkSession.emptyDataFrame
+        .select(lit("").as("word"), lit(0L).as("n")).limit(0)
+    else
+      words.filter(col("word").isin(candidates: _*))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .filter(col("n") > col("total") / (k + 1.0))
+        .select(col("word"), col("n"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.Sketches
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-sketches")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("KMV: exact below k; within 15% at 20k distinct; invariant under partitioning") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val kmv = udaf(new Sketches.KmvDistinct(256), Encoders.scalaLong)
+    // exact when distinct < k (with duplicates present)
+    val small = (0 until 100).map(i => (i % 40).toLong).toDF("v")
+    assert(small.agg(kmv(xxhash64(col("v")))).head().getLong(0) == 40L)
+    // 20k distinct values, duplicated 3x, across partitions
+    val big = (0 until 60000).map(i => (i % 20000).toLong).toDF("v").repartition(8)
+    val est = big.agg(kmv(xxhash64(col("v")))).head().getLong(0)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.15, s"KMV estimate $est off by >15%")
+    // merge is a set union -> estimate identical under any partitioning
+    val est1 = big.repartition(1).agg(kmv(xxhash64(col("v")))).head().getLong(0)
+    val est32 = big.repartition(32).agg(kmv(xxhash64(col("v")))).head().getLong(0)
+    assert(est == est1 && est == est32)
+  }
+
+  test("Misra-Gries candidates contain every item above n/(k+1); heavyHitters == exact HAVING") {
+    import spark.implicits._
+    // skewed stream: 4 heavy words + 500 distinct light words
+    val words = (
+      Seq.fill(400)("alpha") ++ Seq.fill(300)("beta") ++
+        Seq.fill(200)("gamma") ++ Seq.fill(150)("delta") ++
+        (0 until 500).map(i => s"tail$i")
+      ).toDF("word").repartition(8)
+    val n = 400 + 300 + 200 + 150 + 500
+    val k = 16
+    val mg = udaf(new Sketches.MisraGries(k), Encoders.STRING)
+    val cands = words.agg(mg(col("word"))).head().getSeq[String](0).toSet
+    val trueHeavy = Map("alpha" -> 400, "beta" -> 300, "gamma" -> 200, "delta" -> 150)
+      .filter { case (_, c) => c > n / (k + 1.0) }.keySet
+    assert(trueHeavy.subsetOf(cands),
+      s"MG guarantee violated: $trueHeavy not all in $cands")
+    assert(cands.size <= k)
+    // two-pass operator: deterministic, equals the exact over-threshold query
+    val got = Sketches.heavyHitters(words, k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = words.groupBy("word").count()
+      .filter(col("count") > n / (k + 1.0))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact && got.keySet == trueHeavy)
+  }
+}
