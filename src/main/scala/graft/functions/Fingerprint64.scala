@@ -98,6 +98,10 @@ object GraftFunctions {
     org.apache.spark.sql.GraftBridge.toColumn(
       RhpProbes(org.apache.spark.sql.GraftBridge.toExpression(v), planes, probes))
 
+  def tokenizeWords(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      TokenizeWords(org.apache.spark.sql.GraftBridge.toExpression(c)))
+
   def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
     org.apache.spark.sql.GraftBridge.toColumn(
       PqEncode(org.apache.spark.sql.GraftBridge.toExpression(v), codebooks))
@@ -141,5 +145,7 @@ object GraftFunctions {
       exprs => MinHashSig(exprs(0), litInt(exprs(1), "k")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sig_agreement", exprs => SigAgreement(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tokenize", exprs => TokenizeWords(exprs.head), "scala_udf")
   }
 }

@@ -32,6 +32,9 @@ object Joins {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                rightPayload: Seq[String]): DataFrame = {
+    val reserved = left.columns.filter(c => c.startsWith("__") || c.startsWith("asof_"))
+    require(reserved.isEmpty,
+      s"asofJoin reserves '__*' and 'asof_*' column names; left side has: ${reserved.mkString(", ")}")
     val rUs = unix_micros(col(rightTime).cast("timestamp"))
     val payloadCols = rUs.as("asof_time_us") +:
       rightPayload.map(c => col(c).as(s"asof_$c"))
@@ -66,10 +69,14 @@ object Joins {
                 pointUs: String, startUs: String, endUs: String,
                 bucketUs: Long): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
-    val p = points.withColumn("__bucket", expr(s"$pointUs DIV $bucketUs"))
+    // floor division (DIV truncates toward zero — off-by-one bucket
+    // for pre-1970 negative micros): (a - pmod(a, b)) is exactly
+    // divisible, so the int division is exact for any sign
+    def fdiv(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(bucketUs))) / bucketUs).cast("long")
+    val p = points.withColumn("__bucket", fdiv(col(pointUs)))
     val i = intervals.withColumn("__bucket",
-      explode(sequence(expr(s"$startUs DIV $bucketUs"),
-        expr(s"($endUs - 1) DIV $bucketUs"))))
+      explode(sequence(fdiv(col(startUs)), fdiv(col(endUs) - 1))))
     p.join(i, Seq(key, "__bucket"))
       .filter(col(pointUs) >= col(startUs) && col(pointUs) < col(endUs))
       .drop("__bucket")

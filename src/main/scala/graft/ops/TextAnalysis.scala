@@ -10,7 +10,18 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Tokenization used by every operator here — the native
+    * [[graft.functions.TokenizeWords]] kernel (one fused pass;
+    * law-checked in FunctionsSpec against [[toksHof]], which stays as
+    * the declarative reference twin).
+    */
   private def toks(text: Column): Column =
+    graft.functions.GraftFunctions.tokenizeWords(text)
+
+  /** Declarative HOF twin of [[toks]] — NOT for hot paths
+    * (higher-order functions are CodegenFallback).
+    */
+  def toksHof(text: Column): Column =
     filter(split(lower(text), "\\W+"), t => t =!= "")
 
   /** Whitespace token count (the cheap pre-tokenizer count). */

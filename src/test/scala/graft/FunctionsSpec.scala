@@ -247,6 +247,32 @@ class FunctionsSpec extends AnyFunSuite {
       ex.getMessage.toLowerCase.contains("array"))
   }
 
+  test("TokenizeWords native == filter(split(lower)) twin on tricky strings; codegen on") {
+    import spark.implicits._
+    val data = Seq(
+      "", "   ", "one", "One Two  THREE", "  lead and trail  ",
+      "punct...runs!!!and??? more;;; tokens", "ünïcödé SEP ok",
+      "digits 123 mix3d und_er_score", "a#b#c", "\ttabs\nnewlines\r")
+    val df = data.toDF("t").select(col("t"),
+      GraftFunctions.tokenizeWords(col("t")).as("native"),
+      graft.ops.TextAnalysis.toksHof(col("t")).as("twin"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"tokens diverge for '${r.getString(0)}': " +
+          s"native=${r.getSeq[String](1)} twin=${r.getSeq[String](2)}")
+    }
+    val big = spark.range(0, 20000, 1, 4)
+      .select(concat(lit("Doc "), col("id"), lit(" has Words and 123")).as("t"))
+      .select(size(GraftFunctions.tokenizeWords(col("t"))).as("n"))
+    big.collect()
+    assert(big.queryExecution.executedPlan.toString.contains("*("))
+    assert(big.filter(col("n") =!= 6).count() == 0)
+    // null propagates
+    val z = Seq("x").toDF("t")
+      .select(GraftFunctions.tokenizeWords(lit(null).cast("string"))).collect()(0)
+    assert(z.isNullAt(0))
+  }
+
   test("ShingleHashes native == declarative shingleHashes(shingles(text)) twin") {
     import spark.implicits._
     val data = Seq(

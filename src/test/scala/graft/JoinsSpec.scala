@@ -60,5 +60,14 @@ class JoinsSpec extends AnyFunSuite {
     val out2 = Joins.rangeJoin(points, intervals, "k", "pus", "s", "e", bucketUs = 7L)
       .select(col("pid")).collect().map(_.getLong(0)).sorted
     assert(out2.toSeq == Seq(101L, 102L, 103L))
+    // negative (pre-epoch) times bucket by FLOOR division, not
+    // truncate-toward-zero — the interval [-150, 50) must catch -1
+    import spark.implicits._
+    val negI = Seq((1L, 8L, -150L, 50L)).toDF("k", "iid", "s", "e")
+    val negP = Seq((1L, 200L, -1L), (1L, 201L, -151L), (1L, 202L, 49L))
+      .toDF("k", "pid", "pus")
+    val neg = Joins.rangeJoin(negP, negI, "k", "pus", "s", "e", bucketUs = 100L)
+      .select(col("pid")).collect().map(_.getLong(0)).sorted
+    assert(neg.toSeq == Seq(200L, 202L))
   }
 }
