@@ -106,6 +106,10 @@ object GraftFunctions {
     org.apache.spark.sql.GraftBridge.toColumn(
       PqEncode(org.apache.spark.sql.GraftBridge.toExpression(v), codebooks))
 
+  def pqCodes(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      PqCodes(org.apache.spark.sql.GraftBridge.toExpression(v), codebooks))
+
   def pqAdc(q: Column, code: Column, codebooks: Array[Array[Array[Double]]]): Column =
     org.apache.spark.sql.GraftBridge.toColumn(
       PqAdc(org.apache.spark.sql.GraftBridge.toExpression(q),

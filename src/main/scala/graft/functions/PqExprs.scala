@@ -51,6 +51,16 @@ object PqKernels {
     out
   }
 
+  /** [[encode]] with `array<int>` output (SQL-indexable codes). */
+  def encodeInts(v: ArrayData, isFloat: Boolean, flat: Array[Double],
+                 m: Int, codes: Int, subDim: Int): ArrayData = {
+    val bytes = encode(v, isFloat, flat, m, codes, subDim)
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) { out(s) = bytes(s) & 0xff; s += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** ADC: sum over subspaces of ||q_s - centroid[s][code_s]||^2 —
     * the asymmetric (exact-query x quantized-candidate) squared
     * distance.
@@ -72,6 +82,40 @@ object PqKernels {
     }
     acc
   }
+}
+
+/** `pq_codes(v)` — per-subspace code indices as `array<int>` (same
+  * assignment as [[PqEncode]]; the SQL-indexable form `trainPq` uses
+  * so one aggregation updates every subspace's codebook per Lloyd
+  * round).
+  */
+case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
+  extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty &&
+    codebooks.head.length <= 256, "1..256 codes per subspace")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkVec(child.dataType, "graft_pq_codes")
+
+  private lazy val vFloat = VectorExprs.isFloat(child.dataType)
+  private val m = codebooks.length
+  private val codes = codebooks.head.length
+  private val subDim = codebooks.head.head.length
+  private lazy val flat: Array[Double] = codebooks.flatten.flatten.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.encodeInts(v.asInstanceOf[ArrayData], vFloat, flat, m, codes, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("pqCodesFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PqKernels.encodeInts($v, $vFloat, $flatRef, $m, $codes, $subDim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
 }
 
 /** `pq_encode(v)` — m-byte PQ code of a vector. */

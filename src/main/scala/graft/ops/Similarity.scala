@@ -132,24 +132,19 @@ object Similarity {
 
   /** `iters` Lloyd rounds over `sample` (columns `id`, and `vecExpr`
     * the float-array to cluster): init = first `nCentroids` in id-hash
-    * order (or `init` when supplied, so callers training many
-    * codebooks over the same sample collect the init rows once), each
-    * round one distributed aggregation (posexplode to (cluster, dim)
-    * cells, mean per cell); empty clusters keep their previous
-    * centroid. The per-round `.collect()` is k x dim cell means,
-    * never data rows.
+    * order, each round one distributed aggregation (posexplode to
+    * (cluster, dim) cells, mean per cell); empty clusters keep their
+    * previous centroid. The per-round `.collect()` is k x dim cell
+    * means, never data rows.
     */
   private def lloyd(sample: DataFrame, vecExpr: Column, nCentroids: Int,
-                    iters: Int,
-                    init: Array[Array[Double]] = null): Array[Array[Double]] = {
-    var codebook: Array[Array[Double]] =
-      if (init != null) init
-      else sample
-        .select(col("id"), vecExpr.as("__tv"))
-        .orderBy(xxhash64(col("id")), col("id"))
-        .limit(nCentroids)
-        .collect()
-        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+                    iters: Int): Array[Array[Double]] = {
+    var codebook: Array[Array[Double]] = sample
+      .select(col("id"), vecExpr.as("__tv"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(nCentroids)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     var it = 0
     while (it < iters) {
       val assigned = sample
@@ -186,34 +181,46 @@ object Similarity {
     require(sampleCap >= codes, "sampleCap must cover the centroid init")
     val subDim = dim / m
     val sample = detSample(embeddings, idCol, vecCol, sampleCap).persist()
-    // one init collect for ALL subspaces (init = the same first-`codes`
-    // sample vectors, sliced per subspace — re-sorting the sample m
-    // times would spend m extra jobs on identical rows), then the m
-    // independent subspace trainings overlap their (many, tiny) Spark
-    // jobs on a driver-side pool so training wall-clock is ~one
-    // subspace, not m of them; each training is deterministic on its
-    // own, so the result is identical to the sequential order
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
+      // one init collect for ALL subspaces (the same first-`codes`
+      // sample vectors, sliced per subspace)
       val initFull: Array[Array[Double]] = sample
         .orderBy(xxhash64(col("id")), col("id"))
         .limit(codes)
         .collect()
         .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-      val trained = (0 until m).map { s =>
-        scala.concurrent.Future(
-          lloyd(sample, slice(col("v"), s * subDim + 1, subDim), codes, iters,
-            init = initFull.map(_.slice(s * subDim, (s + 1) * subDim))))
+      var books: Array[Array[Array[Double]]] =
+        Array.tabulate(m)(s => initFull.map(_.slice(s * subDim, (s + 1) * subDim)))
+      // each Lloyd round is ONE distributed aggregation covering every
+      // subspace: the native PqCodes assignment emits all m cluster
+      // ids per row, posexplode splits the vector into (subspace,
+      // dim-within-subspace) cells, and the (s, cluster, d) mean is a
+      // single hash agg — m x iters per-subspace jobs collapse to
+      // `iters` jobs. Empty clusters keep their previous centroid; the
+      // per-round collect is m x codes x subDim cell means, never data
+      // rows.
+      var it = 0
+      while (it < iters) {
+        val means = sample
+          .select(GraftFunctions.pqCodes(col("v"), books).as("__codes"),
+            posexplode(col("v")))
+          .select(floor(col("pos") / subDim).cast("int").as("s"),
+            col("pos"), col("col"), col("__codes"))
+          .select(col("s"),
+            element_at(col("__codes"), col("s") + 1).as("cl"),
+            pmod(col("pos"), lit(subDim)).as("d"),
+            col("col"))
+          .groupBy(col("s"), col("cl"), col("d"))
+          .agg(avg(col("col")).as("mean"))
+          .collect()
+        val next = books.map(_.map(_.clone()))
+        means.foreach(r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+        books = next
+        it += 1
       }
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(trained),
-        scala.concurrent.duration.Duration.Inf).toArray
-    } finally {
-      pool.shutdown()
-      sample.unpersist()
-    }
+      books
+    } finally sample.unpersist()
   }
 
   /** IVF-PQ ANN top-k with exact re-rank — the 10^12-vector shape of
