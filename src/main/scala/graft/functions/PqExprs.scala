@@ -153,6 +153,8 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   */
 case class PqAdc(left: Expression, right: Expression,
                  codebooks: Array[Array[Array[Double]]]) extends BinaryExpression {
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty &&
+    codebooks.head.length <= 256, "1..256 codes per subspace")
 
   override def dataType: DataType = DoubleType
 

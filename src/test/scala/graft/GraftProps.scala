@@ -196,6 +196,21 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("pq codes (array<int>) agree with the byte encoding") =
+    forAll(vecGen, Gen.choose(1, 4), Gen.choose(1, 6)) { (v0, m0, codes) =>
+      val m = math.min(m0, v0.length)
+      val subDim = v0.length / m
+      val v = v0.take(m * subDim)
+      subDim == 0 || {
+        val cb = Array.tabulate(m, codes, subDim)((s, c, d) =>
+          graft.util.Det.double01(graft.util.Det.at(0x7c0L + s * 31 + c, d.toLong)) * 4 - 2)
+        val flat = cb.flatten.flatten
+        val bytes = graft.functions.PqKernels.encode(fad(v), true, flat, m, codes, subDim)
+        val ints = graft.functions.PqKernels.encodeInts(fad(v), true, flat, m, codes, subDim)
+        (0 until m).forall(s => ints.getInt(s) == (bytes(s) & 0xff))
+      }
+    }
+
   property("sig agreement: symmetric, bounded, k iff equal; band keys: equal slices share keys") =
     forAll(Gen.choose(1, 4), Gen.listOfN(8, Gen.choose(0L, 9L)), Gen.listOfN(8, Gen.choose(0L, 9L))) {
       (bands0, as, bs) =>
