@@ -130,18 +130,18 @@ object Sketches {
     */
   def heavyHitters(words: DataFrame, k: Int = 64): DataFrame = {
     val mg = udaf(new MisraGries(k), Encoders.STRING)
-    val candidates: Seq[String] = words
-      .agg(mg(col("word")).as("cands"))
-      .head().getSeq[String](0)
-    val total = words.agg(count(lit(1)).as("total"))
+    // pass 1: the sketch AND the total in one aggregation
+    val first = words.agg(mg(col("word")).as("cands"), count(lit(1)).as("total")).head()
+    val candidates: Seq[String] = first.getSeq[String](0)
+    val total = first.getLong(1)
     if (candidates.isEmpty)
       words.sparkSession.emptyDataFrame
         .select(lit("").as("word"), lit(0L).as("n")).limit(0)
     else
+      // pass 2: exact recount of the <= k candidates only
       words.filter(col("word").isin(candidates: _*))
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(total))
-        .filter(col("n") > col("total") / (k + 1.0))
+        .filter(col("n") > total / (k + 1.0))
         .select(col("word"), col("n"))
   }
 }
