@@ -707,6 +707,15 @@ object SparkEntry {
       s.table(name).orderBy(col("doc_id"), col("offset"))
     }),
 
+    "x27_profile" -> ((s, dir) =>
+      // one-pass schema-dynamic corpus profile (rows-only: the
+      // approx_distinct column is sketch-defined; exactness-under-k /
+      // error / schema handling are ProfileSpec-asserted). k=1024
+      // makes every distinct count in this corpus exact.
+      graft.ops.Profile.columns(
+          s.read.parquet(p(dir, "documents")), kmvK = 1024)
+        .orderBy(col("column"))),
+
     "x26_kmv_distinct" -> ((s, dir) => {
       // KMV distinct-count sketch per source (rows-only: the estimate
       // is sketch-defined, not SQL; exactness/error/partitioning
