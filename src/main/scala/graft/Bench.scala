@@ -302,16 +302,25 @@ object Bench {
       else {
         val t0 = System.nanoTime()
         val group = s"q-$name"
+        // closes the cancel/setJobGroup race: if the timeout fires
+        // before the future thread has even set its job group, the
+        // flag stops the query from STARTING (a cancelJobGroup for a
+        // group nobody set yet is a no-op, and the abandoned query
+        // would run unbounded under the next measurements)
+        val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
         val fut = Future {
           s4.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-          try { fn(s4, sfDir).count(); true }
-          finally s4.sparkContext.clearJobGroup()
+          try {
+            if (timedOut.get()) false
+            else { fn(s4, sfDir).count(); true }
+          } finally s4.sparkContext.clearJobGroup()
         }
         val capS = if (head.contains(name)) math.max(perQueryCapS, 120L) else perQueryCapS
         val outcome =
           try Some(Await.result(fut, capS.seconds))
           catch {
             case _: TimeoutException =>
+              timedOut.set(true)
               s4.sparkContext.cancelJobGroup(group)
               fut.failed.foreach(_ => ()) // abandoned; swallow its late failure
               None

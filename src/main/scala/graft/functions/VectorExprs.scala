@@ -74,12 +74,24 @@ object VectorKernels {
     val out = new Array[Int](k)
     var s = 0
     while (s < k) { // selection over <=64 centroid-probe slots: O(k*nc)
+      // `best < 0 ||` makes NaN distances total: an all-NaN row (a
+      // corrupt vector) degrades to the lowest unconsumed centroid id
+      // instead of crashing the task (NaN < x is always false)
       var best = -1
       var bd = Double.PositiveInfinity
       var c2i = 0
       while (c2i < nc) {
-        if (dists(c2i) < bd) { bd = dists(c2i); best = c2i }
+        if ((best < 0 && dists(c2i) < Double.PositiveInfinity) ||
+          dists(c2i) < bd) { bd = dists(c2i); best = c2i }
         c2i += 1
+      }
+      if (best < 0) { // every remaining slot NaN: take lowest unconsumed
+        var q = 0
+        while (best < 0 && q < nc) {
+          if (dists(q) != Double.PositiveInfinity) best = q
+          q += 1
+        }
+        if (best < 0) best = 0
       }
       dists(best) = Double.PositiveInfinity
       out(s) = best
@@ -135,12 +147,23 @@ object VectorKernels {
     out(0) = bucket
     var s = 0
     while (s < k) {
+      // NaN-total selection (see ivfProbes): corrupt vectors flip the
+      // lowest unconsumed plane instead of crashing the task
       var best = -1
       var bm = Double.PositiveInfinity
       var q = 0
       while (q < np) {
-        if (dots(q) < bm) { bm = dots(q); best = q }
+        if ((best < 0 && dots(q) < Double.PositiveInfinity) ||
+          dots(q) < bm) { bm = dots(q); best = q }
         q += 1
+      }
+      if (best < 0) {
+        var r = 0
+        while (best < 0 && r < np) {
+          if (dots(r) != Double.PositiveInfinity) best = r
+          r += 1
+        }
+        if (best < 0) best = 0
       }
       dots(best) = Double.PositiveInfinity
       out(1 + s) = bucket ^ (1L << best)

@@ -38,8 +38,14 @@ object Joins {
     val rUs = unix_micros(col(rightTime).cast("timestamp"))
     val payloadCols = rUs.as("asof_time_us") +:
       rightPayload.map(c => col(c).as(s"asof_$c"))
-    val r = right.select(Seq(col(key), rUs.as("__t"),
-      struct(payloadCols: _*).as("__rp"), lit(0).as("__side")): _*)
+    // ASOF semantics: a right row with NULL key or NULL time never
+    // matches anything (DuckDB/kdb: `l.t >= NULL` is false). Unfiltered
+    // it would sort nulls-first and its non-null payload struct would
+    // carry into every left row with no real prior match.
+    val r = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(Seq(col(key), rUs.as("__t"),
+        struct(payloadCols: _*).as("__rp"), lit(0).as("__side")): _*)
     val l = left
       .withColumn("__t", unix_micros(col(leftTime).cast("timestamp")))
       .withColumn("__side", lit(1))
@@ -75,8 +81,15 @@ object Joins {
     def fdiv(c: org.apache.spark.sql.Column) =
       ((c - pmod(c, lit(bucketUs))) / bucketUs).cast("long")
     val p = points.withColumn("__bucket", fdiv(col(pointUs)))
-    val i = intervals.withColumn("__bucket",
-      explode(sequence(fdiv(col(startUs)), fdiv(col(endUs) - 1))))
+    // empty/inverted intervals ([s, e) with e <= s) match nothing by
+    // definition — and MUST be dropped before the explode: Spark's
+    // sequence(from, to) steps -1 when from > to, so a corrupt
+    // inverted interval would otherwise replicate into (s-e)/bucketUs
+    // spurious bucket rows
+    val i = intervals
+      .filter(col(endUs) > col(startUs))
+      .withColumn("__bucket",
+        explode(sequence(fdiv(col(startUs)), fdiv(col(endUs) - 1))))
     p.join(i, Seq(key, "__bucket"))
       .filter(col(pointUs) >= col(startUs) && col(pointUs) < col(endUs))
       .drop("__bucket")

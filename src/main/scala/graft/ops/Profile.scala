@@ -26,8 +26,12 @@ object Profile {
       case _ => true
     }
     val fields = df.schema.fields
+    require(fields.map(_.name).distinct.length == fields.length,
+      "profile requires distinct column names")
     val aggs = fields.flatMap { f =>
-      val c = col(f.name)
+      // backtick-quote the name: a bare col("a.b") parses the dot as
+      // nested-field access and fails to resolve
+      val c = col("`" + f.name.replace("`", "``") + "`")
       val scalar = isScalar(f.dataType)
       Seq(
         count(c).as(s"__cnt_${f.name}"),

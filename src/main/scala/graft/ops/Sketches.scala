@@ -93,7 +93,8 @@ object Sketches {
     override def zero: Map[String, Long] = Map.empty
 
     override def reduce(m: Map[String, Long], w: String): Map[String, Long] =
-      m.get(w) match {
+      if (w == null) m // nulls are not words (and would NPE the sorted finish)
+      else m.get(w) match {
         case Some(c) => m.updated(w, c + 1)
         case None if m.size < k => m.updated(w, 1L)
         case None => // decrement-all step; zeros drop

@@ -78,6 +78,10 @@ object StreamingJobs {
                               graft.pipe.ExtractJob.Config()): DataFrame = {
     import spark.implicits._
     import graft.pipe.ExtractJob
+    // same plan-time fail-fast as the batch twin (ExtractJob
+    // .extractSpans): an unknown language must throw on the driver,
+    // not as per-task failures in every micro-batch
+    graft.codec.Glyphs.fontFor(cfg.language): Unit
     val docs = spark.readStream.schema(docsSchema).parquet(docsDir)
     val exploded = ExtractJob.explodedSpans(docs)
     val textOut = ExtractJob.textBranch(exploded)

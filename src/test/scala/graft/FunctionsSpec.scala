@@ -221,6 +221,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(z == 0.0)
   }
 
+  test("corrupt (NaN) vectors degrade deterministically instead of crashing the probes") {
+    import org.apache.spark.sql.types._
+    val cb = Array.tabulate(4)(c => Array.tabulate(8)(d =>
+      graft.util.Det.double01(graft.util.Det.at(0x41L + c, d.toLong)) * 2 - 1))
+    val m = graft.ops.Similarity.planeMatrix(8, 6)
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, Array.fill(8)(Float.NaN)),
+      org.apache.spark.sql.Row(2L, Array.tabulate(8)(i =>
+        if (i == 3) Float.NaN else 0.5f)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("id", LongType), StructField("v", ArrayType(FloatType)))))
+    val out = df.select(col("id"),
+      GraftFunctions.ivfProbes(col("v"), cb, 4).as("probes"),
+      GraftFunctions.rhpProbes(col("v"), m, 3).as("rhp")).collect()
+    out.foreach { r =>
+      val probes = r.getSeq[Int](1)
+      assert(probes.length == 4 && probes.distinct.length == 4)
+      assert(probes.forall(p => p >= 0 && p < 4))
+      assert(r.getSeq[Long](2).length == 4) // own bucket + 3 probes, no crash
+    }
+    // the all-NaN row degrades to ascending centroid order
+    assert(out.find(_.getLong(0) == 1L).get.getSeq[Int](1) == Seq(0, 1, 2, 3))
+  }
+
   test("PqEncode/PqAdc null-propagate and reject non-vector input") {
     import spark.implicits._
     val cb = Array.tabulate(2, 2, 2)((s, c, d) => (s + c + d).toDouble)

@@ -39,6 +39,15 @@ class JoinsSpec extends AnyFunSuite {
     assert(out(11L) == (Some(40000000L), Some(90L)))
     assert(out(12L) == (None, None))
     assert(out(20L) == (None, None))
+    // a right row with NULL time never matches (ASOF: l.t >= NULL is
+    // false) — without the filter it would masquerade as a match with
+    // a null timestamp for left rows that have no real prior
+    val rightNull = Seq((2L, 93L, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("user_id", "rid", "ts")
+    val out2 = Joins.asofJoin(left.filter(col("event_id") === 20L), rightNull,
+      "user_id", "ts", "ts", Seq("rid")).collect()(0)
+    assert(out2.isNullAt(out2.fieldIndex("asof_time_us")) &&
+      out2.isNullAt(out2.fieldIndex("asof_rid")))
   }
 
   test("rangeJoin: [start, end) boundaries, bucket-crossing intervals, each pair once") {
@@ -60,6 +69,11 @@ class JoinsSpec extends AnyFunSuite {
     val out2 = Joins.rangeJoin(points, intervals, "k", "pus", "s", "e", bucketUs = 7L)
       .select(col("pid")).collect().map(_.getLong(0)).sorted
     assert(out2.toSeq == Seq(101L, 102L, 103L))
+    // empty and inverted intervals match nothing (and must not
+    // replicate into descending-sequence buckets)
+    import spark.implicits._
+    val badI = Seq((1L, 9L, 350L, 150L), (1L, 10L, 200L, 200L)).toDF("k", "iid", "s", "e")
+    assert(Joins.rangeJoin(points, badI, "k", "pus", "s", "e", bucketUs = 100L).count() == 0L)
     // negative (pre-epoch) times bucket by FLOOR division, not
     // truncate-toward-zero — the interval [-150, 50) must catch -1
     import spark.implicits._

@@ -37,6 +37,11 @@ class ProfileSpec extends AnyFunSuite {
     val xs = p("xs")
     assert(xs.getLong(2) == 4L && xs.getLong(3) == 0L)
     assert(xs.getLong(4) == -1L && xs.getString(5) == "" && xs.getString(6) == "")
+    // a literal dotted column name must profile as-is, not as a
+    // nested-field access
+    val dotted = Seq((1L, "x"), (2L, "y")).toDF("id", "a.b")
+    val pd = Profile.columns(dotted).collect().map(r => r.getString(0) -> r).toMap
+    assert(pd("a.b").getLong(2) == 2L && pd("a.b").getLong(4) == 2L)
   }
 
   test("profile runs on the real corpus tables (schema-dynamic)") {

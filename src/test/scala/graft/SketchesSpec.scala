@@ -55,5 +55,10 @@ class SketchesSpec extends AnyFunSuite {
       .filter(col("count") > n / (k + 1.0))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == exact && got.keySet == trueHeavy)
+    // null rows are not words: no NPE, counts unchanged for real words
+    val withNulls = words.unionByName(
+      Seq.fill(5)(null.asInstanceOf[String]).toDF("word"))
+    val candsN = withNulls.agg(mg(col("word"))).head().getSeq[String](0).toSet
+    assert(trueHeavy.subsetOf(candsN))
   }
 }

@@ -124,6 +124,17 @@ class StreamingSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("streaming extraction fails fast on an unknown language at plan time (batch parity)") {
+    import spark.implicits._
+    val media = Seq.empty[(String, Array[Byte])].toDF("media_ref", "bytes")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingJobs.extractSpansStreaming(spark, "/tmp/nonexistent-dir",
+        org.apache.spark.sql.types.StructType(Seq.empty), media,
+        graft.pipe.ExtractJob.Config(language = "xyz"))
+    }
+    assert(ex.getMessage.contains("unknown language"))
+  }
+
   test("streaming dedup: one survivor per fingerprint, set equals batch exact dedup") {
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
