@@ -295,7 +295,9 @@ object Bench {
     import scala.concurrent.{Await, Future, TimeoutException}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    val perQueryCapS = sys.env.getOrElse("GRAFT_QUERY_CAP_S", "45").toLong
+    // 60 s: sized so the heaviest query (x24's cold codebook training,
+    // ~10-20 s quiet) survives a ~2x loaded window without tripping
+    val perQueryCapS = sys.env.getOrElse("GRAFT_QUERY_CAP_S", "60").toLong
     val queryTimes = ordered.map { name =>
       val fn = SparkEntry.queries(name)
       if (noSweep || (!head.contains(name) && System.nanoTime() > deadline)) name -> -2.0

@@ -745,10 +745,13 @@ object SparkEntry {
       // candidate-traffic shape: candidates cross the probe join as
       // m-byte PQ codes instead of dim floats, ADC-ranked, and only the
       // top-`rerank` re-fetch exact vectors for cosine re-ranking.
+      // one Lloyd round each: the driver query is the plumbing
+      // showcase — iteration count is an index-quality knob exercised
+      // at iters=2 by the DedupSpec recall tests
       val emb = s.read.parquet(p(dir, "embeddings"))
       val dim = embDim(s, dir)
-      val coarse = Similarity.trainIvf(emb, dim, nCentroids = 16, iters = 2)
-      val pq = Similarity.trainPq(emb, dim, m = 8, codes = 16, iters = 2)
+      val coarse = Similarity.trainIvf(emb, dim, nCentroids = 16, iters = 1)
+      val pq = Similarity.trainPq(emb, dim, m = 8, codes = 16, iters = 1)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), dim, coarse, pq,
         k = 5, nProbe = 2, rerank = 20)
         .orderBy(col("qid"), col("rn"))
