@@ -201,10 +201,19 @@ object Bench {
     val smallCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "1").toInt
     val bigCores = smallCores * 4
     val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "12").toInt
-    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "5").toInt
+    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "8").toInt
     // stop starting new pairs past this point so the query sweep always
     // fits the driver's window even in a loaded host window
     val pairBudgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "170").toInt
+    // PRE-DECLARED quiet-window criterion (emitted in the JSON): a pair
+    // is "quiet" when the 1-minute load average sampled before it is
+    // below this. The bench's own steady-state contribution is ~1.0
+    // (previous pair: 4 cores x ~8s + 1 core x ~27s over a minute), so
+    // 2.0 means "at most ~1 core of co-tenant load". The headline is
+    // the median over quiet pairs — a loaded host window can stretch a
+    // pair 2-4x and must not become the artifact of record.
+    val quietLoad = sys.env.getOrElse("GRAFT_QUIET_LOAD", "2.0").toDouble
+    val minQuietPairs = 3
 
     // corpus prep in this JVM (children only read the parquet); the
     // render-heavy prepare scales in raw threads, use 16
@@ -224,9 +233,14 @@ object Bench {
     val benchStart = System.nanoTime()
     def elapsedS: Long = (System.nanoTime() - benchStart) / 1000000000L
     val pairs = scala.collection.mutable.ArrayBuffer.empty[Pair]
+    def quietCount = pairs.count(_.load < quietLoad)
     var i = 0
     var serversAlive = true
-    while (serversAlive && i < maxPairs && (i < 2 || elapsedS < pairBudgetS)) {
+    // run at least 2 pairs; past that keep pairing only while the quiet
+    // quota is unmet and time remains — a quiet window finishes in 3
+    // pairs, a loaded one keeps sampling for a quiet one until budget
+    while (serversAlive && i < maxPairs &&
+           (i < 2 || (quietCount < minQuietPairs && elapsedS < pairBudgetS))) {
       // a dead child must cost the remaining pairs, never the round:
       // report whatever pairs completed rather than crashing
       try {
@@ -260,16 +274,19 @@ object Bench {
     System.err.println(f"[bench] calib: N=$calibN%.2fs 4N=$calib4%.2fs eff=$calibEff%.3f")
     srvN.quit(); srv4.quit()
 
-    // headline = the median pair (one coherent measurement window);
-    // per-pair data is emitted so outliers are visible, not hidden.
-    val byEff = pairs.sortBy(_.eff)
-    val median = byEff(byEff.size / 2) // upper-middle for even n (conservative
-    // enough: with 2 pairs this is the better one, with >=3 a true middle)
+    // headline = the median over QUIET pairs (criterion pre-declared
+    // above, emitted below); all pairs are emitted so the selection is
+    // auditable. If no pair was quiet the whole budget, fall back to
+    // all pairs — honest, and visible as quiet_pairs=0 in the JSON.
+    val quietPairs = pairs.filter(_.load < quietLoad).toSeq
+    val scored = if (quietPairs.nonEmpty) quietPairs else pairs.toSeq
+    val byEff = scored.sortBy(_.eff)
+    val median = byEff(byEff.size / 2)
     val eff =
       if (byEff.size % 2 == 1) median.eff
       else (byEff(byEff.size / 2 - 1).eff + median.eff) / 2.0
-    val tp4 = pairs.map(_.tp4).sorted.apply(pairs.size / 2)
-    val tpN = pairs.map(_.tpN).sorted.apply(pairs.size / 2)
+    val tp4 = scored.map(_.tp4).sorted.apply(scored.size / 2)
+    val tpN = scored.map(_.tpN).sorted.apply(scored.size / 2)
     val headline = pairs.maxBy(_.docs)
 
     // per-query timings at the box's efficient core count — see
@@ -324,6 +341,12 @@ object Bench {
             case _: TimeoutException =>
               timedOut.set(true)
               s4.sparkContext.cancelJobGroup(group)
+              // a streaming query (x22) runs its jobs on the
+              // StreamExecution microbatch thread under the STREAM's
+              // job group, and its stop() lives inside the abandoned
+              // future — cancel alone leaves it burning CPU under
+              // every later measurement. Stop any active stream too.
+              s4.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
               fut.failed.foreach(_ => ()) // abandoned; swallow its late failure
               None
             case _: Throwable => Some(false)
@@ -343,24 +366,34 @@ object Bench {
       f"""{"sec_n":${p.secN}%.3f,"sec_4n":${p.sec4}%.3f,"eff":${p.eff}%.3f,""" +
         f""""load_1m":${p.load}%.2f,"steal_pct":${p.stealPct}%.2f,""" +
         f""""cpu_busy_n":${p.busyN(smallCores)}%.3f,"cpu_busy_4n":${p.busy4(bigCores)}%.3f}""").mkString("[", ",", "]")
-    val json =
+    // Two JSON emissions (round-4 fix for three rounds of driver
+    // `parsed: null`): the driver captures the LAST ~2000 chars of
+    // stdout and parses the FINAL line, and the full pairs+queries
+    // JSON outgrew that capture (2,587 bytes in r3). So the full
+    // record goes to BENCH/last_run.json and an EARLY stdout line,
+    // and the final stdout line is a compact ~400-byte headline.
+    val quietRule = f"load_1m<$quietLoad%.1f"
+    val headlineJson =
       s"""{"metric":"extract_docs_per_sec","value":${f"$tp4%.2f"},"unit":"docs/sec",""" +
         s""""pipeline":"runResumable","docs":${headline.docs},""" +
-        s""""cores_n":$smallCores,"cores_4n":$bigCores,"query_cores":${math.min(queryCores, 8)},""" +
+        s""""cores_n":$smallCores,"cores_4n":$bigCores,""" +
         s""""docs_per_sec_n":${f"$tpN%.2f"},"docs_per_sec_4n":${f"$tp4%.2f"},""" +
         s""""scaling_efficiency":${f"$eff%.3f"},""" +
         s""""calibration_pure_compute_eff":${f"$calibEff%.3f"},""" +
         s""""efficiency_vs_host_ceiling":${f"${if (calibEff > 0) eff / calibEff else 0.0}%.3f"},""" +
-        s""""calib_sec_n":${f"$calibN%.2f"},"calib_sec_4n":${f"$calib4%.2f"},""" +
-        s""""pairs":$pairsJson,""" +
-        s""""queries":$qs,"sf":"$sfDir"}"""
-    // the driver parses stdout; the file is the belt-and-braces copy
+        s""""quiet_rule":"$quietRule","quiet_pairs":${quietPairs.size},"pairs_total":${pairs.size},""" +
+        s""""sf":"$sfDir"}"""
+    val fullJson = headlineJson.dropRight(1) +
+      s""","query_cores":${math.min(queryCores, 8)},""" +
+      s""""calib_sec_n":${f"$calibN%.2f"},"calib_sec_4n":${f"$calib4%.2f"},""" +
+      s""""pairs":$pairsJson,"queries":$qs}"""
     try {
       val f = new java.io.File("BENCH/last_run.json")
       f.getParentFile.mkdirs()
-      java.nio.file.Files.write(f.toPath, (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(f.toPath, (fullJson + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    println(json)
+    println(fullJson)     // full record, for humans reading stdout
+    println(headlineJson) // LAST line: must fit the driver's tail capture
     System.out.flush()
   }
 }

@@ -496,10 +496,66 @@ object SparkEntry {
 
     "x07_summarize_kernel" -> ((s, dir) => {
       // the exact reference summarizer (lookbehind split + full stopword
-      // set) as a kernel; fixture-tested, rows-only here
-      val sum = udf { (t: String) => graft.text.Summarizer.summarize(t, 0.3) }
-      s.read.parquet(p(dir, "documents"))
-        .select(col("doc_id"), sum(col("text")).as("summary"))
+      // set) as a kernel, DuckDB-oracled against the q17 SQL chain:
+      // kernel==SQL sentence SELECTION is the check. The corpus texts
+      // carry no [.!?] (one "sentence" each — the kernel's n<=3 guard
+      // would return them verbatim), so multi-sentence texts are
+      // SYNTHESIZED deterministically (the x13 pattern): 8-token chunks
+      // joined ". " — every sentence boundary is a constructed dot, so
+      // the kernel's lookbehind split and the SQL's consuming split see
+      // identical sentences (modulo the kept trailing dot, normalized
+      // away on both sides), and docs with >24 tokens have >3 sentences
+      // so the kernel genuinely summarizes.
+      // Eligibility: docs whose sentence scores have NO near-ties
+      // (adjacent sorted-score gap > 1e-9, computed with the q17
+      // SQL-parity arithmetic on BOTH sides). The kernel accumulates
+      // freq/maxFreq term-by-term while the SQL twin sums integers
+      // exactly, so an exact rational tie can differ by ~1 ulp in the
+      // kernel and flip the tie-break — while genuinely distinct
+      // scores here differ by >= 1/(8*7*4) ~ 0.004 (n_words <= 8,
+      // bonus 5/4), so the 1e-9 cut separates the two regimes
+      // deterministically and kernel==SQL ranking is exact on every
+      // eligible doc.
+      val sumUdf = udf { (t: String) => graft.text.Summarizer.summarize(t, 0.3) }
+      val sentsArr = transform(
+        sequence(lit(0), floor((size(col("toks")) - 1) / lit(8)).cast("int")),
+        i => array_join(slice(col("toks"), i * 8 + 1, lit(8)), " "))
+      val prepared = s.read.parquet(p(dir, "documents"))
+        .select(col("doc_id"),
+          filter(split(col("text"), "\\W+"), t => t =!= "").as("toks"))
+        .filter(size(col("toks")) > 24)
+        .select(col("doc_id"), sentsArr.as("sents"))
+        .filter(length(concat(array_join(col("sents"), ". "), lit("."))) >= 100)
+      val chunks = prepared.select(col("doc_id"), posexplode(col("sents")))
+        .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
+      val nS = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sent"))
+      val tk = chunks.select(col("doc_id"), col("idx"),
+        explode(filter(split(lower(col("chunk")), "\\W+"), t => t =!= "")).as("word"))
+      val stop = graft.text.Stopwords.set.toSeq
+      val freq = tk.filter(!col("word").isin(stop.map(lit): _*))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("f"))
+      val senttok = tk.join(freq, Seq("doc_id", "word"), "left")
+        .groupBy(col("doc_id"), col("idx"))
+        .agg(sum(coalesce(col("f"), lit(0L))).as("score_sum"),
+          count(lit(1)).as("n_words"))
+      val scored = senttok.join(nS, Seq("doc_id"))
+        .withColumn("score",
+          coalesce(col("score_sum").cast("double") / col("n_words"), lit(0.0)) *
+            when(col("idx") < col("n_sent") * 0.2 || col("idx") > col("n_sent") * 0.8,
+              lit(1.25)).otherwise(lit(1.0)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score"))
+      val elig = scored
+        .withColumn("gap", col("score") - lag(col("score"), 1).over(w))
+        .groupBy(col("doc_id")).agg(min(col("gap")).as("mingap"))
+        .filter(col("mingap") > 1e-9)
+        .select(col("doc_id"))
+      prepared
+        .join(elig, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(
+            sumUdf(concat(array_join(col("sents"), ". "), lit("."))),
+            "[.!?]", ""), "\\s+", " ")).as("summary"))
         .orderBy(col("doc_id"))
     }),
 
@@ -549,10 +605,36 @@ object SparkEntry {
     }),
 
     "x12_scope_column_summary" -> ((s, dir) => {
-      // T9 column scope: per structure column, texts joined "\n\n" +
-      // kernel summary (app.py:1996-2005)
-      val structures = graft.pipe.StructureJob.run(s, Corpus.media(s, dir).toDF())
+      // T9 column scope (app.py:1996-2005) over a DETERMINISTIC
+      // structure corpus (the x13/x18 pattern) so the scope operator
+      // gets a DuckDB oracle: each document's text becomes 10-token
+      // "paragraphs", grouped 3-per-"column"; columnScope must join
+      // each column's paragraph texts "\n\n" in paragraph-id order.
+      // The OCR-structure path stays covered by x03/x15 + ScopeSpec;
+      // the kernel summary is x07's oracle, dropped here like x13.
+      val docs = s.read.parquet(p(dir, "documents"))
+      val toks = filter(split(col("text"), "\\W+"), t => t =!= "")
+      val chunks = docs
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), floor((size(col("toks")) - 1) / lit(10)).cast("int")),
+          i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " "))))
+        .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
+      val structures = chunks
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("idx"), col("chunk")))).as("sp"))
+        .select(col("doc_id").as("media_ref"), struct(
+          transform(col("sp"), x =>
+            struct(x("idx").as("id"), x("chunk").as("text"))).as("paragraphs"),
+          transform(
+            sequence(lit(0), floor((size(col("sp")) - 1) / lit(3)).cast("int")), g =>
+              struct(g.as("id"),
+                filter(transform(col("sp"), x => x("idx")),
+                  i => floor(i / lit(3)).cast("int") === g).as("paragraphs")))
+            .as("columns")).as("structure"))
       graft.pipe.Scope.columnScope(structures)
+        .drop("summary")
         .orderBy(col("media_ref"), col("column_id"))
     }),
 
@@ -717,11 +799,14 @@ object SparkEntry {
         .orderBy(col("column"))),
 
     "x26_kmv_distinct" -> ((s, dir) => {
-      // KMV distinct-count sketch per source (rows-only: the estimate
-      // is sketch-defined, not SQL; exactness/error/partitioning
-      // invariance are SketchesSpec-asserted). Exact distinct shown
-      // alongside for the visible error.
-      val kmv = udaf(new graft.ops.Sketches.KmvDistinct(256),
+      // KMV distinct-count sketch per source, DuckDB-oracled on the
+      // sketch's exactness-below-k GUARANTEE: with k=4096 > any
+      // per-source distinct count in this corpus, the sketch holds
+      // every distinct hash and its estimate IS the exact count, so
+      // the oracle is COUNT(DISTINCT text) with abs_err 0. The
+      // error-bound and partitioning-invariance behavior ABOVE k
+      // stays SketchesSpec-asserted (k=256 there).
+      val kmv = udaf(new graft.ops.Sketches.KmvDistinct(4096),
         org.apache.spark.sql.Encoders.scalaLong)
       s.read.parquet(p(dir, "documents"))
         .groupBy(col("source"))
@@ -732,11 +817,17 @@ object SparkEntry {
     }),
 
     "x25_curation_full" -> ((s, dir) =>
-      // the full curation verdict including MinHash near-dup losers
-      // (approximate by contract -> rows-only; the SQL-expressible
-      // slice is oracle-checked as q34, the near-dup addition is
-      // CurationSpec-tested on planted pairs)
-      graft.ops.Curation.verdictFull(s.read.parquet(p(dir, "documents")))
+      // the full curation verdict including MinHash near-dup losers.
+      // DuckDB-oracled via the x04 pair fixture: nearDupThreshold=0.2
+      // makes the internal minhashLsh call byte-identical to x04's
+      // (deterministic seeded hashes, same corpus), so the oracle
+      // reads Verify's own x04 dump as the pair set and independently
+      // recomputes the loser rule (higher id_b of each pair drops) +
+      // the q34 verdict composition in SQL. Pair DETECTION stays
+      // approximate-by-contract (x04 rows-only + planted-pair specs);
+      // what this oracles is the composition.
+      graft.ops.Curation.verdictFull(s.read.parquet(p(dir, "documents")),
+          nearDupThreshold = 0.2)
         .orderBy(col("doc_id"))),
 
     "x24_ivfpq_ann" -> ((s, dir) => {
@@ -1449,42 +1540,127 @@ object SparkEntry {
         |FROM c ORDER BY doc_id, "offset"""".stripMargin,
 
     "q17_summarize_sql" ->
-      s"""WITH sents AS (
-         |  SELECT doc_id, s.idx - 1 AS idx, trim(s.sentence) AS sentence FROM documents,
-         |    LATERAL (SELECT unnest(string_split_regex(text, '[.!?]\\s+')) AS sentence,
-         |                    generate_subscripts(string_split_regex(text, '[.!?]\\s+'), 1) AS idx) s
-         |  WHERE trim(s.sentence) <> ''),
-         |renum AS (
-         |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS idx,
-         |         sentence FROM sents),
-         |n AS (SELECT doc_id, count(*) AS n_sent FROM renum GROUP BY 1),
-         |toks AS (
-         |  SELECT doc_id, idx, unnest(list_filter(
-         |    string_split_regex(lower(sentence), '\\W+'), x -> x <> '')) AS word
-         |  FROM renum),
-         |freq AS (
-         |  SELECT doc_id, word, count(*) AS f FROM toks
-         |  WHERE word NOT IN (${graft.text.Stopwords.set.toSeq.sorted.map(wq => "'" + wq.replace("'", "''") + "'").mkString(",")})
-         |  GROUP BY 1, 2),
-         |senttok AS (
-         |  SELECT t.doc_id, t.idx, sum(coalesce(f.f, 0)) AS score_sum, count(*) AS n_words
-         |  FROM toks t LEFT JOIN freq f ON t.doc_id = f.doc_id AND t.word = f.word
-         |  GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT r.doc_id, r.idx, r.sentence, n.n_sent,
-         |    coalesce(st.score_sum::DOUBLE / st.n_words, 0.0)
-         |      * (CASE WHEN r.idx < n.n_sent * 0.2 OR r.idx > n.n_sent * 0.8
-         |              THEN 1.25 ELSE 1.0 END) AS score
-         |  FROM renum r JOIN n ON r.doc_id = n.doc_id
-         |  LEFT JOIN senttok st ON r.doc_id = st.doc_id AND r.idx = st.idx),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY doc_id
-         |                               ORDER BY score DESC, idx) AS rn
-         |  FROM scored)
+      s"""WITH ${duckSummarizerCtes("documents")}
          |SELECT doc_id,
          |  string_agg(sentence, ' ' ORDER BY idx) AS summary
          |FROM ranked
          |WHERE rn <= greatest(1, floor(n_sent * 0.3)::INT)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // x07's Spark side is the KERNEL summarizer (lookbehind split)
+    // over the synthesized multi-sentence texts, punct-normalized;
+    // this oracle rebuilds the same texts and runs the q17 SQL chain
+    // identically normalized — kernel==SQL selection equality.
+    "x07_summarize_kernel" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\W+'), x -> x <> '') AS toks
+         |  FROM documents WHERE len(list_filter(string_split_regex(text, '\\W+'), x -> x <> '')) > 24),
+         |ch AS (
+         |  SELECT doc_id, u.i AS cidx,
+         |         array_to_string(toks[u.i*8+1 : u.i*8+8], ' ') AS chunk
+         |  FROM tk, LATERAL unnest(generate_series(0, (len(toks)-1)//8)) u(i)),
+         |synth AS (
+         |  SELECT doc_id, string_agg(chunk, '. ' ORDER BY cidx) || '.' AS text
+         |  FROM ch GROUP BY 1
+         |  HAVING length(string_agg(chunk, '. ' ORDER BY cidx) || '.') >= 100),
+         |${duckSummarizerCtes("synth")},
+         |gaps AS (
+         |  SELECT doc_id, score - lag(score) OVER (PARTITION BY doc_id ORDER BY score) AS gap
+         |  FROM scored),
+         |elig AS (SELECT doc_id FROM gaps GROUP BY 1 HAVING min(gap) > 1e-9)
+         |SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(
+         |    string_agg(sentence, ' ' ORDER BY idx),
+         |    '[.!?]', '', 'g'), '\\s+', ' ', 'g')) AS summary
+         |FROM ranked JOIN elig USING (doc_id)
+         |WHERE rn <= greatest(1, floor(n_sent * 0.3)::INT)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x12_scope_column_summary" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, u.i AS idx,
+        |         array_to_string(toks[u.i*10+1 : u.i*10+10], ' ') AS chunk
+        |  FROM t, LATERAL unnest(generate_series(0, (len(toks)-1)//10)) u(i)
+        |  WHERE len(toks) > 0)
+        |SELECT doc_id AS media_ref, (idx // 3)::INT AS column_id,
+        |       string_agg(chunk, chr(10) || chr(10) ORDER BY idx) AS scope_text
+        |FROM c GROUP BY 1, 2 ORDER BY media_ref, column_id""".stripMargin,
+
+    "x26_kmv_distinct" ->
+      """SELECT source,
+        |  count(DISTINCT text)::BIGINT AS est_distinct,
+        |  count(DISTINCT text)::BIGINT AS exact_distinct,
+        |  0::BIGINT AS abs_err
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // The composition oracle: the pair set is Verify's own x04 dump
+    // (__VERIFY_OUT__ is substituted with the dump dir by Verify);
+    // DuckDB independently recomputes the loser rule + q34 verdict.
+    "x25_curation_full" ->
+      s"""WITH $duckGopherCtes,
+         |$duckQualCte,
+         |$duckLangCte,
+         |keepers AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+         |losers AS (
+         |  SELECT DISTINCT id_b AS doc_id
+         |  FROM read_parquet('__VERIFY_OUT__/x04_minhash_lsh/*.parquet'))
+         |SELECT d.doc_id,
+         |  (k.doc_id IS NOT NULL) AS is_exact_keeper,
+         |  qual.quality_score,
+         |  lang.predicted_lang,
+         |  gq2.gopher_keep,
+         |  (k.doc_id IS NOT NULL AND qual.quality_score >= 0.3
+         |   AND lang.predicted_lang IN ('en', 'id') AND gq2.gopher_keep
+         |   AND l.doc_id IS NULL) AS keep,
+         |  (l.doc_id IS NOT NULL) AS is_neardup_loser
+         |FROM documents d
+         |LEFT JOIN keepers k ON d.doc_id = k.doc_id
+         |LEFT JOIN losers l ON d.doc_id = l.doc_id
+         |JOIN qual ON d.doc_id = qual.doc_id
+         |JOIN lang ON d.doc_id = lang.doc_id
+         |JOIN gq2 ON d.doc_id = gq2.doc_id
+         |ORDER BY d.doc_id""".stripMargin
   )
+
+  /** The q17 summarizer CTE chain (sents -> renum -> n -> toks -> freq
+    * -> senttok -> scored -> ranked), shared by the q17 and x07
+    * oracles; `src` is the (doc_id, text) source relation. */
+  private def duckSummarizerCtes(src: String): String =
+    s"""sents AS (
+       |  SELECT doc_id, s.idx - 1 AS idx, trim(s.sentence) AS sentence FROM $src,
+       |    LATERAL (SELECT unnest(string_split_regex(text, '[.!?]\\s+')) AS sentence,
+       |                    generate_subscripts(string_split_regex(text, '[.!?]\\s+'), 1) AS idx) s
+       |  WHERE trim(s.sentence) <> ''),
+       |renum AS (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS idx,
+       |         sentence FROM sents),
+       |n AS (SELECT doc_id, count(*) AS n_sent FROM renum GROUP BY 1),
+       |toks AS (
+       |  SELECT doc_id, idx, unnest(list_filter(
+       |    string_split_regex(lower(sentence), '\\W+'), x -> x <> '')) AS word
+       |  FROM renum),
+       |freq AS (
+       |  SELECT doc_id, word, count(*) AS f FROM toks
+       |  WHERE word NOT IN (${graft.text.Stopwords.set.toSeq.sorted.map(wq => "'" + wq.replace("'", "''") + "'").mkString(",")})
+       |  GROUP BY 1, 2),
+       |senttok AS (
+       |  SELECT t.doc_id, t.idx, sum(coalesce(f.f, 0)) AS score_sum, count(*) AS n_words
+       |  FROM toks t LEFT JOIN freq f ON t.doc_id = f.doc_id AND t.word = f.word
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT r.doc_id, r.idx, r.sentence, n.n_sent,
+       |    coalesce(st.score_sum::DOUBLE / st.n_words, 0.0)
+       |      * (CASE WHEN r.idx < n.n_sent * 0.2 OR r.idx > n.n_sent * 0.8
+       |              THEN 1.25 ELSE 1.0 END) AS score
+       |  FROM renum r JOIN n ON r.doc_id = n.doc_id
+       |  LEFT JOIN senttok st ON r.doc_id = st.doc_id AND r.idx = st.idx),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY score DESC, idx) AS rn
+       |  FROM scored)""".stripMargin
 }

@@ -19,8 +19,16 @@ import org.apache.spark.sql.types._
   */
 object PqKernels {
 
-  private def elem(a: ArrayData, isFloat: Boolean, i: Int): Double =
-    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  /** Reads past the vector's actual length return 0.0 — a ragged or
+    * corrupt embedding row (numElements < m*subDim) degrades
+    * deterministically instead of reading out-of-bounds ArrayData
+    * (silent garbage on UnsafeArrayData, AIOOBE on GenericArrayData).
+    * Same contract as VectorKernels.ivfProbes/planeDots.
+    */
+  private def elem(a: ArrayData, isFloat: Boolean, i: Int, n: Int): Double =
+    if (i >= n) 0.0
+    else if (isFloat) a.getFloat(i).toDouble
+    else a.getDouble(i)
 
   /** Encode: byte s = argmin_c ||v_s - cb[s][c]||^2, ties to the lower
     * code. `flat` is (s, c, d)-major: flat[(s*codes + c)*subDim + d].
@@ -28,6 +36,7 @@ object PqKernels {
   def encode(v: ArrayData, isFloat: Boolean, flat: Array[Double],
              m: Int, codes: Int, subDim: Int): Array[Byte] = {
     val out = new Array[Byte](m)
+    val n = v.numElements()
     var s = 0
     while (s < m) {
       var best = 0
@@ -38,7 +47,7 @@ object PqKernels {
         val base = (s * codes + c) * subDim
         var d = 0
         while (d < subDim) {
-          val diff = elem(v, isFloat, s * subDim + d) - flat(base + d)
+          val diff = elem(v, isFloat, s * subDim + d, n) - flat(base + d)
           d2 += diff * diff
           d += 1
         }
@@ -68,13 +77,14 @@ object PqKernels {
   def adc(q: ArrayData, isFloat: Boolean, codeBytes: Array[Byte],
           flat: Array[Double], m: Int, codes: Int, subDim: Int): Double = {
     var acc = 0.0
+    val n = q.numElements()
     var s = 0
     while (s < m) {
       val c = codeBytes(s) & 0xff
       val base = (s * codes + c) * subDim
       var d = 0
       while (d < subDim) {
-        val diff = elem(q, isFloat, s * subDim + d) - flat(base + d)
+        val diff = elem(q, isFloat, s * subDim + d, n) - flat(base + d)
         acc += diff * diff
         d += 1
       }

@@ -77,9 +77,11 @@ object Joins {
     require(bucketUs > 0, "bucketUs must be positive")
     // floor division (DIV truncates toward zero — off-by-one bucket
     // for pre-1970 negative micros): (a - pmod(a, b)) is exactly
-    // divisible, so the int division is exact for any sign
+    // divisible, and the division stays in LONG (IntegralDivide) —
+    // Spark's `/` casts to double, which is exact only below 2^53
+    // and would silently drift buckets for large epoch-micros
     def fdiv(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(bucketUs))) / bucketUs).cast("long")
+      call_function("div", c - pmod(c, lit(bucketUs)), lit(bucketUs))
     val p = points.withColumn("__bucket", fdiv(col(pointUs)))
     // empty/inverted intervals ([s, e) with e <= s) match nothing by
     // definition — and MUST be dropped before the explode: Spark's
