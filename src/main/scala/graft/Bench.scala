@@ -296,6 +296,24 @@ object Bench {
     val noSweep = sys.env.contains("GRAFT_BENCH_NO_SWEEP")
     val s4 = session(math.min(queryCores, 8))
     s4.sparkContext.setLogLevel("WARN")
+    // warm the PQ/IVF native-kernel + codegen paths once on a 64-row
+    // synthetic frame: the sweep should measure operator cost, not
+    // first-use janino/JIT compilation of the expression classes
+    // (x24's cold codebook training measured 9-21 s vs 2.2 s warm —
+    // pure warmup cost, round-3 verdict)
+    if (!noSweep) try {
+      import org.apache.spark.sql.functions._
+      val dim = 16
+      val tiny = s4.range(64).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => (pmod(col("id") * (i + lit(1)), lit(97)) / lit(97.0)).cast("float"))
+          .as("embedding"))
+      val coarse = graft.ops.Similarity.trainIvf(tiny, dim, nCentroids = 4, iters = 1)
+      val pq = graft.ops.Similarity.trainPq(tiny, dim, m = 4, codes = 4, iters = 1)
+      graft.ops.Similarity.ivfPqTopK(tiny, tiny.filter(col("vec_id") < 2), dim,
+        coarse, pq, k = 2, nProbe = 2, rerank = 4).count()
+      ()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     val head = Seq("x01_extract_spans", "x02_extract_docs")
     val ordered = head ++ SparkEntry.queries.keys.toSeq.filterNot(head.contains).sorted
     // adaptive sweep budget: the whole bench must fit the driver's

@@ -115,6 +115,26 @@ object GraftFunctions {
       PqAdc(org.apache.spark.sql.GraftBridge.toExpression(q),
         org.apache.spark.sql.GraftBridge.toExpression(code), codebooks))
 
+  def pqCodesRes(v: Column, cell: Column, coarse: Array[Array[Double]],
+                 codebooks: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      PqCodesRes(org.apache.spark.sql.GraftBridge.toExpression(v),
+        org.apache.spark.sql.GraftBridge.toExpression(cell), coarse, codebooks))
+
+  def pqEncodeRes(v: Column, cell: Column, coarse: Array[Array[Double]],
+                  codebooks: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      PqEncodeRes(org.apache.spark.sql.GraftBridge.toExpression(v),
+        org.apache.spark.sql.GraftBridge.toExpression(cell), coarse, codebooks))
+
+  def pqAdcRes(q: Column, cell: Column, code: Column,
+               coarse: Array[Array[Double]],
+               codebooks: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      PqAdcRes(org.apache.spark.sql.GraftBridge.toExpression(q),
+        org.apache.spark.sql.GraftBridge.toExpression(cell),
+        org.apache.spark.sql.GraftBridge.toExpression(code), coarse, codebooks))
+
   def sigBandKeys(sig: Column, bands: Int): Column =
     org.apache.spark.sql.GraftBridge.toColumn(
       SigBandKeys(org.apache.spark.sql.GraftBridge.toExpression(sig), bands))

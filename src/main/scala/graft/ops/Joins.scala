@@ -25,6 +25,14 @@ object Joins {
     * requires (key, time) unique per side (ties would make "the"
     * most-recent row ambiguous — same caveat as any ASOF engine).
     *
+    * SKEW caveat (inherent to ASOF on any engine): the running window
+    * is per-key sequential, so one pathological key holding a large
+    * share of the rows serializes into a single task. When the key
+    * distribution is unknown, run
+    * [[graft.ops.Sketches.keySkewAudit]] first (O(k) state, two
+    * scans) and split/quarantine the reported keys — time-range
+    * pre-bucketing with boundary stitching is the standard split.
+    *
     * Output: all left columns + `asof_time_us` + each requested right
     * payload column prefixed `asof_` (all null when no prior right
     * row exists).

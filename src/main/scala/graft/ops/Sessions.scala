@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
   * a running sum numbers the islands, one aggregation closes them —
   * a single shuffle keyed by user, no state store, scales as
   * independent per-user partitions (the 100 TB form of the operator;
-  * the streaming form is for unbounded arrival).
+  * the streaming form is for unbounded arrival). SKEW caveat: the
+  * island window is per-user sequential, so one pathological user
+  * holding a large row share serializes into one task — audit with
+  * [[graft.ops.Sketches.keySkewAudit]] when the user distribution is
+  * unknown, and split such users by time range (stitch sessions at
+  * the boundaries) or quarantine them.
   *
   * Same strict-gap rule as the streaming twin: a gap of EXACTLY the
   * timeout keeps the session open; strictly greater splits.

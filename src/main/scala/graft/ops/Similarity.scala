@@ -175,20 +175,47 @@ object Similarity {
     */
   def trainPq(embeddings: DataFrame, dim: Int, m: Int = 8, codes: Int = 16,
               iters: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding",
-              sampleCap: Int = 100000): Array[Array[Array[Double]]] = {
+              sampleCap: Int = 100000,
+              coarse: Array[Array[Double]] = Array.empty): Array[Array[Array[Double]]] = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
     require(codes >= 1 && codes <= 256, "PQ codes are one byte: 1..256 per subspace")
     require(sampleCap >= codes, "sampleCap must cover the centroid init")
+    val residual = coarse.nonEmpty
+    require(!residual || coarse.head.length == dim,
+      s"coarse centroids must have dim $dim")
     val subDim = dim / m
-    val sample = detSample(embeddings, idCol, vecCol, sampleCap).persist()
+    val sample0 = detSample(embeddings, idCol, vecCol, sampleCap)
+    // residual mode quantizes v - coarse[cell] (cell assigned once per
+    // sample row by the native kernel); the assignment column rides
+    // along so each Lloyd round stays ONE aggregation
+    val sample = (if (residual)
+        sample0.withColumn("__cell", nearestCentroid(col("v"), coarse))
+      else sample0.withColumn("__cell", lit(0))).persist()
+    // driver-side twin of the kernel's argmin (first minimum wins) for
+    // the `codes`-row init collect
+    def nearestIdx(v: Array[Double]): Int = {
+      var best = 0; var bd = Double.PositiveInfinity; var c = 0
+      while (c < coarse.length) {
+        var d2 = 0.0; var d = 0
+        while (d < dim) { val x = v(d) - coarse(c)(d); d2 += x * x; d += 1 }
+        if (d2 < bd) { bd = d2; best = c }
+        c += 1
+      }
+      best
+    }
     try {
       // one init collect for ALL subspaces (the same first-`codes`
-      // sample vectors, sliced per subspace)
+      // sample vectors — residuals in residual mode — sliced per
+      // subspace)
       val initFull: Array[Array[Double]] = sample
         .orderBy(xxhash64(col("id")), col("id"))
         .limit(codes)
         .collect()
         .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        .map(v => if (residual) {
+          val c = coarse(nearestIdx(v))
+          Array.tabulate(dim)(i => v(i) - c(i))
+        } else v)
       var books: Array[Array[Array[Double]]] =
         Array.tabulate(m)(s => initFull.map(_.slice(s * subDim, (s + 1) * subDim)))
       // each Lloyd round is ONE distributed aggregation covering every
@@ -198,20 +225,31 @@ object Similarity {
       // single hash agg — m x iters per-subspace jobs collapse to
       // `iters` jobs. Empty clusters keep their previous centroid; the
       // per-round collect is m x codes x subDim cell means, never data
-      // rows.
+      // rows. In residual mode the averaged component is the residual
+      // (coarse lookup via element_at on a plan literal — codegen'd,
+      // no HOF).
+      val coarseLit =
+        if (residual) typedLit(coarse.map(_.toSeq).toSeq) else lit(null)
       var it = 0
       while (it < iters) {
+        val codesCol =
+          if (residual) GraftFunctions.pqCodesRes(col("v"), col("__cell"), coarse, books)
+          else GraftFunctions.pqCodes(col("v"), books)
         val means = sample
-          .select(GraftFunctions.pqCodes(col("v"), books).as("__codes"),
-            posexplode(col("v")))
+          .select(col("__cell"), codesCol.as("__codes"), posexplode(col("v")))
           .select(floor(col("pos") / subDim).cast("int").as("s"),
-            col("pos"), col("col"), col("__codes"))
+            col("pos"),
+            (if (residual)
+              col("col") - element_at(element_at(coarseLit, col("__cell") + 1),
+                col("pos") + 1)
+            else col("col").cast("double")).as("component"),
+            col("__codes"))
           .select(col("s"),
             element_at(col("__codes"), col("s") + 1).as("cl"),
             pmod(col("pos"), lit(subDim)).as("d"),
-            col("col"))
+            col("component"))
           .groupBy(col("s"), col("cl"), col("d"))
-          .agg(avg(col("col")).as("mean"))
+          .agg(avg(col("component")).as("mean"))
           .collect()
         val next = books.map(_.map(_.clone()))
         means.foreach(r =>
@@ -233,9 +271,12 @@ object Similarity {
     * centroids, [[graft.functions.PqAdc]] — one fused loop), keep the
     * best `rerank` per query, and only THOSE re-fetch their exact
     * vectors (a semi-join back to the corpus, |Q| x rerank rows) for
-    * exact-cosine re-ranking. Raw vectors are quantized directly
-    * (no residual subtraction — the deterministic variant; documented
-    * trade: coarser cells, same index shape).
+    * exact-cosine re-ranking. `residual = true` quantizes each
+    * vector's OFFSET from its coarse centroid instead of the raw
+    * vector (train the pq codebooks with the same `coarse` via
+    * trainPq(..., coarse = coarse)) — the classic recall improvement
+    * at identical index shape and candidate traffic; both variants
+    * are fully deterministic.
     *
     * Both codebooks live inside native expressions — broadcast by
     * construction; shuffles: the probe join (bytes), the re-rank
@@ -244,12 +285,15 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, dim: Int,
                 coarse: Array[Array[Double]], pq: Array[Array[Array[Double]]],
                 k: Int = 10, nProbe: Int = 2, rerank: Int = 50,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                residual: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val index = embeddings
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id"), nearestCentroid(col("v"), coarse).as("cl"),
-        GraftFunctions.pqEncode(col("v"), pq).as("code"))
+      .withColumn("cl", nearestCentroid(col("v"), coarse))
+      .select(col("id"), col("cl"),
+        (if (residual) GraftFunctions.pqEncodeRes(col("v"), col("cl"), coarse, pq)
+        else GraftFunctions.pqEncode(col("v"), pq)).as("code"))
     val probes = math.max(1, math.min(nProbe, coarse.length))
     val qs = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("cl", explode(GraftFunctions.ivfProbes(col("qv"), coarse, probes)))
@@ -257,7 +301,11 @@ object Similarity {
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("id"))
     val survivors = qs.join(index, Seq("cl"))
       .filter(col("qid") =!= col("id"))
-      .withColumn("adc", GraftFunctions.pqAdc(col("qv"), col("code"), pq))
+      // residual ADC compares q - coarse[cl] against the candidate's
+      // residual code; cl is the probe-join key, already on the row
+      .withColumn("adc",
+        if (residual) GraftFunctions.pqAdcRes(col("qv"), col("cl"), col("code"), coarse, pq)
+        else GraftFunctions.pqAdc(col("qv"), col("code"), pq))
       .withColumn("rn0", row_number().over(wAdc))
       .filter(col("rn0") <= keep)
       .select(col("qid"), col("qv"), col("id"))

@@ -145,4 +145,38 @@ object Sketches {
         .filter(col("n") > total / (k + 1.0))
         .select(col("word"), col("n"))
   }
+
+  /** Pre-flight skew audit for key-partitioned operators (asofJoin,
+    * sessionize, any window keyed by user/entity): every key holding
+    * more than `maxShare` of the rows, with its exact count and
+    * share. One pathological key serializes a key-partitioned window
+    * into a single task — run this first when the key distribution is
+    * unknown, then salt / split / quarantine the reported keys.
+    *
+    * Same two-pass Misra-Gries protocol as [[heavyHitters]] with
+    * k = ceil(1/maxShare), whose guarantee (any item with frequency
+    * > n/(k+1) survives pass 1) covers every key above the share
+    * threshold — O(k) state, two scans, never a full-cardinality agg.
+    *
+    * Output: (<keyCol>, n, share), descending share.
+    */
+  def keySkewAudit(df: DataFrame, keyCol: String, maxShare: Double = 0.01): DataFrame = {
+    require(maxShare > 0 && maxShare < 1, "maxShare must be in (0, 1)")
+    val k = math.max(1, math.ceil(1.0 / maxShare).toInt)
+    val words = df.select(col(keyCol).cast("string").as("word"))
+    val mg = udaf(new MisraGries(k), Encoders.STRING)
+    val first = words.agg(mg(col("word")).as("cands"), count(lit(1)).as("total")).head()
+    val candidates: Seq[String] = first.getSeq[String](0)
+    val total = first.getLong(1)
+    if (candidates.isEmpty || total == 0L)
+      df.sparkSession.emptyDataFrame
+        .select(lit("").as(keyCol), lit(0L).as("n"), lit(0.0).as("share")).limit(0)
+    else
+      words.filter(col("word").isin(candidates: _*))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .withColumn("share", col("n") / lit(total.toDouble))
+        .filter(col("share") > maxShare)
+        .select(col("word").as(keyCol), col("n"), col("share"))
+        .orderBy(col("share").desc, col(keyCol))
+  }
 }

@@ -320,4 +320,51 @@ class DedupSpec extends AnyFunSuite {
       assert(sims.sameElements(sims.sorted.reverse))
     }
   }
+
+  test("residual PQ: ADC-ranked recall improves over raw-vector PQ; training deterministic") {
+    val dim = 64
+    // wide within-cluster noise + one coarse cell per cluster: raw PQ
+    // with 4 codes/subspace must span the GLOBAL spread (whole
+    // clusters collapse to one code, ADC ties), while residual PQ
+    // only quantizes the within-cell offsets — the regime residual
+    // quantization exists for
+    val emb = clustered(nClusters = 40, perCluster = 12, dim = dim, noise = 0.25)
+    val coarse = Similarity.trainIvf(emb, dim, nCentroids = 40, iters = 2)
+    // rerank = k keeps the candidate set ADC-decided (a large rerank
+    // would let the exact re-rank mask codebook quality)
+    val raw = Similarity.trainPq(emb, dim, m = 8, codes = 4, iters = 2)
+    val res = Similarity.trainPq(emb, dim, m = 8, codes = 4, iters = 2, coarse = coarse)
+    val qids = (0 until 8).map(c => (c * 12).toLong)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+    val vecs = emb.collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def meanRecall(pq: Array[Array[Array[Double]]], residual: Boolean): Double = {
+      val got = Similarity.ivfPqTopK(emb, queries, dim, coarse, pq,
+          k = 10, nProbe = 2, rerank = 10, residual = residual)
+        .collect()
+        .groupBy(_.getAs[Number](0).longValue)
+        .map { case (q, rows) => q -> rows.map(_.getAs[Number](1).longValue).toSet }
+      qids.map { q =>
+        val truth = vecs.toSeq.filter(_._1 != q)
+          .sortBy { case (id, v) => (-cos(vecs(q), v), id) }
+          .take(10).map(_._1).toSet
+        truth.intersect(got.getOrElse(q, Set.empty)).size / 10.0
+      }.sum / qids.size
+    }
+    val rawRecall = meanRecall(raw, residual = false)
+    val resRecall = meanRecall(res, residual = true)
+    assert(resRecall >= rawRecall,
+      s"residual recall $resRecall < raw recall $rawRecall")
+    assert(resRecall >= 0.7, s"residual ADC recall@10 $resRecall < 0.7")
+    // deterministic residual training
+    val res2 = Similarity.trainPq(emb, dim, m = 8, codes = 4, iters = 2, coarse = coarse)
+    assert(res.zip(res2).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+  }
 }

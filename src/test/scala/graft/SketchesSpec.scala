@@ -61,4 +61,22 @@ class SketchesSpec extends AnyFunSuite {
     val candsN = withNulls.agg(mg(col("word"))).head().getSeq[String](0).toSet
     assert(trueHeavy.subsetOf(candsN))
   }
+
+  test("keySkewAudit reports exactly the keys above maxShare, with exact counts") {
+    import spark.implicits._
+    // 10_000 rows: one whale user at 30%, one at 5%, the rest spread
+    // over 1000 users (~0.065% each)
+    val rows = Seq.fill(3000)("whale") ++ Seq.fill(500)("mid") ++
+      (0 until 6500).map(i => s"u${i % 1000}")
+    val df = rows.toDF("user_id")
+    val hot = graft.ops.Sketches.keySkewAudit(df, "user_id", maxShare = 0.02)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(hot.map(_._1).toSeq == Seq("whale", "mid"), s"got ${hot.toSeq}")
+    assert(hot.head._2 == 3000L && hot(1)._2 == 500L)
+    assert(math.abs(hot.head._3 - 0.30) < 1e-9)
+    // no key above the threshold -> empty, with the declared schema
+    val quiet = graft.ops.Sketches.keySkewAudit(df, "user_id", maxShare = 0.5)
+    assert(quiet.count() == 0L)
+    assert(quiet.columns.toSeq == Seq("user_id", "n", "share"))
+  }
 }
