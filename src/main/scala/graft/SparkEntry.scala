@@ -790,12 +790,15 @@ object SparkEntry {
     }),
 
     "x27_profile" -> ((s, dir) =>
-      // one-pass schema-dynamic corpus profile (rows-only: the
-      // approx_distinct column is sketch-defined; exactness-under-k /
-      // error / schema handling are ProfileSpec-asserted). k=1024
-      // makes every distinct count in this corpus exact.
+      // one-pass schema-dynamic corpus profile, DuckDB-oracled on the
+      // KMV exactness-below-k guarantee (the x26 pattern): k=8192
+      // exceeds every per-column distinct count in the oracle corpora,
+      // so approx_distinct IS the exact count (+1 for null-as-a-value
+      // when nulls exist) and the whole row is SQL-recomputable. The
+      // above-k error/invariance behavior stays ProfileSpec/
+      // SketchesSpec-asserted.
       graft.ops.Profile.columns(
-          s.read.parquet(p(dir, "documents")), kmvK = 1024)
+          s.read.parquet(p(dir, "documents")), kmvK = 8192)
         .orderBy(col("column"))),
 
     "x26_kmv_distinct" -> ((s, dir) => {
@@ -1588,6 +1591,27 @@ object SparkEntry {
         |SELECT doc_id AS media_ref, (idx // 3)::INT AS column_id,
         |       string_agg(chunk, chr(10) || chr(10) ORDER BY idx) AS scope_text
         |FROM c GROUP BY 1, 2 ORDER BY media_ref, column_id""".stripMargin,
+
+    // Schema-specific twin of the schema-DYNAMIC profiler: one UNION
+    // branch per documents column, each recomputing the profile row
+    // exactly (KMV is exact below k; approx_distinct counts null as
+    // one value, n_values is the non-null count).
+    "x27_profile" -> {
+      def branch(c: String, dtype: String): String =
+        s"""SELECT '$c' AS "column", '$dtype' AS dtype,
+           |  count($c)::BIGINT AS n_values,
+           |  (count(*) - count($c))::BIGINT AS n_nulls,
+           |  (count(DISTINCT $c)
+           |    + CASE WHEN count(*) > count($c) THEN 1 ELSE 0 END)::BIGINT
+           |    AS approx_distinct,
+           |  coalesce(min($c)::VARCHAR, '') AS min_value,
+           |  coalesce(max($c)::VARCHAR, '') AS max_value
+           |FROM documents""".stripMargin
+      Seq("doc_id" -> "bigint", "text" -> "string", "lang" -> "string",
+        "source" -> "string", "n_chars" -> "bigint")
+        .map((branch _).tupled)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     "x26_kmv_distinct" ->
       """SELECT source,
