@@ -91,13 +91,24 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  /** (stealJiffies, totalJiffies) from /proc/stat's aggregate cpu line. */
-  private def cpuStat(): (Long, Long) =
+  /** (stealJiffies, totalJiffies, busyJiffies) from /proc/stat's
+    * aggregate cpu line; busy = total - idle - iowait (fields 4, 5).
+    */
+  private def cpuStat(): (Long, Long, Long) =
     try {
       val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
       val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-      (if (f.length > 7) f(7) else 0L, f.sum)
-    } catch { case _: Throwable => (0L, 1L) }
+      val idle = (if (f.length > 3) f(3) else 0L) + (if (f.length > 4) f(4) else 0L)
+      (if (f.length > 7) f(7) else 0L, f.sum, f.sum - idle)
+    } catch { case _: Throwable => (0L, 1L, 0L) }
+
+  /** This JVM's cumulative cpu seconds (the sbt/bench parent). */
+  private def processCpuSec(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9
+      case _ => 0.0
+    } catch { case _: Throwable => 0.0 }
 
   // ---- level servers ------------------------------------------------------
 
@@ -173,7 +184,7 @@ object Bench {
 
   private final case class Pair(secN: Double, sec4: Double, docs: Long,
                                 load: Double, stealPct: Double,
-                                cpuN: Double, cpu4: Double) {
+                                cpuN: Double, cpu4: Double, extCores: Double) {
     /** CPU-time utilization of each level: cpu/(wall*cores). A level
       * whose tasks were runnable but descheduled by the HOST (invisible
       * steal — guest jiffies freeze, /proc/stat steal stays 0) shows
@@ -183,6 +194,19 @@ object Bench {
     def eff: Double = secN / (4.0 * sec4)
     def tp4: Double = docs / sec4
     def tpN: Double = docs / secN
+    /** The PRE-DECLARED quiet-window rule (see main). `extCores` is
+      * co-tenant CPU (box busy minus every benchmark JVM's own cpu,
+      * per wall second) — unlike the 1-minute load average it carries
+      * no self-load, which the bench's own warmup+servers push past
+      * any fixed load threshold even on an idle box. busy4 < 0.85
+      * catches the box's OTHER pathology: invisible host descheduling
+      * (tasks runnable but not running; no /proc/stat steal). A
+      * sentinel child cpu (-1, non-com.sun MXBean) falls back to the
+      * load average.
+      */
+    def quiet(bigCores: Int): Boolean =
+      if (cpuN < 0 || cpu4 < 0) load < 2.0
+      else extCores < 0.5 && busy4(bigCores) >= 0.85
   }
 
   def main(args: Array[String]): Unit = {
@@ -205,14 +229,18 @@ object Bench {
     // stop starting new pairs past this point so the query sweep always
     // fits the driver's window even in a loaded host window
     val pairBudgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "170").toInt
-    // PRE-DECLARED quiet-window criterion (emitted in the JSON): a pair
-    // is "quiet" when the 1-minute load average sampled before it is
-    // below this. The bench's own steady-state contribution is ~1.0
-    // (previous pair: 4 cores x ~8s + 1 core x ~27s over a minute), so
-    // 2.0 means "at most ~1 core of co-tenant load". The headline is
-    // the median over quiet pairs — a loaded host window can stretch a
-    // pair 2-4x and must not become the artifact of record.
-    val quietLoad = sys.env.getOrElse("GRAFT_QUIET_LOAD", "2.0").toDouble
+    // PRE-DECLARED quiet-window criterion (emitted in the JSON as
+    // quiet_rule, per-pair signals in the pairs array): a pair is
+    // quiet when co-tenant CPU during it stayed under half a core
+    // (ext_cores = /proc/stat busy minus every benchmark JVM's own
+    // cpu, per wall second) AND the 4N child actually got its CPU
+    // (cpu_busy_4n >= 0.85 — invisible host descheduling shows here,
+    // not in /proc/stat steal). Measured round 4: the 1-minute load
+    // average cannot express this rule — the bench's own
+    // warmup+servers push it past 2.0 on an idle box. The headline is
+    // the median over quiet pairs; a loaded window must not become
+    // the artifact of record.
+    val quietRule = "ext_cores<0.5 & cpu_busy_4n>=0.85"
     val minQuietPairs = 3
 
     // corpus prep in this JVM (children only read the parquet); the
@@ -233,7 +261,7 @@ object Bench {
     val benchStart = System.nanoTime()
     def elapsedS: Long = (System.nanoTime() - benchStart) / 1000000000L
     val pairs = scala.collection.mutable.ArrayBuffer.empty[Pair]
-    def quietCount = pairs.count(_.load < quietLoad)
+    def quietCount = pairs.count(_.quiet(bigCores))
     var i = 0
     var serversAlive = true
     // run at least 2 pairs; past that keep pairing only while the quiet
@@ -245,16 +273,25 @@ object Bench {
       // report whatever pairs completed rather than crashing
       try {
         val load = loadAvg1m()
-        val (steal0, total0) = cpuStat()
+        val wall0 = System.nanoTime()
+        val (steal0, total0, busy0) = cpuStat()
+        val pcpu0 = processCpuSec()
         val (docsN, secN, cpuN) = srvN.run()
         val (_, sec4, cpu4) = srv4.run()
-        val (steal1, total1) = cpuStat()
+        val (steal1, total1, busy1) = cpuStat()
+        val wall = math.max((System.nanoTime() - wall0) / 1e9, 0.001)
         val stealPct =
           if (total1 > total0) 100.0 * (steal1 - steal0) / (total1 - total0) else 0.0
-        pairs += Pair(secN, sec4, docsN, load, stealPct, cpuN, cpu4)
+        // co-tenant CPU: box busy jiffies (USER_HZ=100) minus the two
+        // children's measured run cpu and this JVM's own delta
+        val selfCpu = math.max(0.0, cpuN) + math.max(0.0, cpu4) +
+          math.max(0.0, processCpuSec() - pcpu0)
+        val extCores = math.max(0.0, (busy1 - busy0) / 100.0 - selfCpu) / wall
+        pairs += Pair(secN, sec4, docsN, load, stealPct, cpuN, cpu4, extCores)
         System.err.println(f"[bench] pair ${i + 1}: N=$secN%.1fs 4N=$sec4%.1fs " +
-          f"eff=${pairs.last.eff}%.3f load=$load%.2f steal=$stealPct%.1f%% " +
-          f"busyN=${pairs.last.busyN(smallCores)}%.2f busy4=${pairs.last.busy4(bigCores)}%.2f")
+          f"eff=${pairs.last.eff}%.3f load=$load%.2f ext=$extCores%.2f " +
+          f"steal=$stealPct%.1f%% busyN=${pairs.last.busyN(smallCores)}%.2f " +
+          f"busy4=${pairs.last.busy4(bigCores)}%.2f quiet=${pairs.last.quiet(bigCores)}")
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] level server failed mid-pair: $e")
@@ -278,7 +315,7 @@ object Bench {
     // above, emitted below); all pairs are emitted so the selection is
     // auditable. If no pair was quiet the whole budget, fall back to
     // all pairs — honest, and visible as quiet_pairs=0 in the JSON.
-    val quietPairs = pairs.filter(_.load < quietLoad).toSeq
+    val quietPairs = pairs.filter(_.quiet(bigCores)).toSeq
     val scored = if (quietPairs.nonEmpty) quietPairs else pairs.toSeq
     val byEff = scored.sortBy(_.eff)
     val median = byEff(byEff.size / 2)
@@ -382,7 +419,7 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val pairsJson = pairs.map(p =>
       f"""{"sec_n":${p.secN}%.3f,"sec_4n":${p.sec4}%.3f,"eff":${p.eff}%.3f,""" +
-        f""""load_1m":${p.load}%.2f,"steal_pct":${p.stealPct}%.2f,""" +
+        f""""load_1m":${p.load}%.2f,"ext_cores":${p.extCores}%.2f,"steal_pct":${p.stealPct}%.2f,""" +
         f""""cpu_busy_n":${p.busyN(smallCores)}%.3f,"cpu_busy_4n":${p.busy4(bigCores)}%.3f}""").mkString("[", ",", "]")
     // Two JSON emissions (round-4 fix for three rounds of driver
     // `parsed: null`): the driver captures the LAST ~2000 chars of
@@ -390,7 +427,6 @@ object Bench {
     // JSON outgrew that capture (2,587 bytes in r3). So the full
     // record goes to BENCH/last_run.json and an EARLY stdout line,
     // and the final stdout line is a compact ~400-byte headline.
-    val quietRule = f"load_1m<$quietLoad%.1f"
     val headlineJson =
       s"""{"metric":"extract_docs_per_sec","value":${f"$tp4%.2f"},"unit":"docs/sec",""" +
         s""""pipeline":"runResumable","docs":${headline.docs},""" +
