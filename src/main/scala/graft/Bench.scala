@@ -228,7 +228,7 @@ object Bench {
     val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "8").toInt
     // stop starting new pairs past this point so the query sweep always
     // fits the driver's window even in a loaded host window
-    val pairBudgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "170").toInt
+    val pairBudgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "190").toInt
     // PRE-DECLARED quiet-window criterion (emitted in the JSON as
     // quiet_rule, per-pair signals in the pairs array): a pair is
     // quiet when co-tenant CPU during it stayed under half a core
@@ -241,7 +241,10 @@ object Bench {
     // the median over quiet pairs; a loaded window must not become
     // the artifact of record.
     val quietRule = "ext_cores<0.5 & cpu_busy_4n>=0.85"
-    val minQuietPairs = 3
+    // 5 quiet pairs: the short 4N runs vary ~±15% run-to-run on this
+    // box even in quiet windows, and a 3-pair median is hostage to one
+    // outlier; 5 stabilizes it at ~36 s/pair
+    val minQuietPairs = 5
 
     // corpus prep in this JVM (children only read the parquet); the
     // render-heavy prepare scales in raw threads, use 16
@@ -265,7 +268,7 @@ object Bench {
     var i = 0
     var serversAlive = true
     // run at least 2 pairs; past that keep pairing only while the quiet
-    // quota is unmet and time remains — a quiet window finishes in 3
+    // quota is unmet and time remains — a quiet window finishes in 5
     // pairs, a loaded one keeps sampling for a quiet one until budget
     while (serversAlive && i < maxPairs &&
            (i < 2 || (quietCount < minQuietPairs && elapsedS < pairBudgetS))) {

@@ -515,43 +515,45 @@ object SparkEntry {
       // scores here differ by >= 1/(8*7*4) ~ 0.004 (n_words <= 8,
       // bonus 5/4), so the 1e-9 cut separates the two regimes
       // deterministically and kernel==SQL ranking is exact on every
-      // eligible doc.
+      // eligible doc. The eligibility rule runs as ONE per-row UDF
+      // (integer frequency sums -> a single division -> a single
+      // multiply, each an order-free exact-or-once-rounded IEEE op,
+      // so JVM == DuckDB bit-for-bit) — the relational form of the
+      // same rule cost 6 shuffles and ~12 s of plan/codegen for a
+      // per-row decision.
       val sumUdf = udf { (t: String) => graft.text.Summarizer.summarize(t, 0.3) }
+      val eligUdf = udf { (sents: Seq[String]) =>
+        val stop = graft.text.Stopwords.set
+        val toks = sents.map(_.toLowerCase(java.util.Locale.ROOT)
+          .split("\\W+").filter(_.nonEmpty))
+        val freq = scala.collection.mutable.HashMap.empty[String, Long]
+        toks.foreach(_.foreach(w =>
+          if (!stop.contains(w)) freq.update(w, freq.getOrElse(w, 0L) + 1L)))
+        val n = sents.length
+        val scores = toks.zipWithIndex.map { case (ws, i) =>
+          val sum = ws.foldLeft(0L)((a, w) => a + freq.getOrElse(w, 0L))
+          val base = if (ws.isEmpty) 0.0 else sum.toDouble / ws.length
+          if (i < n * 0.2 || i > n * 0.8) base * 1.25 else base
+        }.sorted
+        var minGap = Double.MaxValue
+        var i = 1
+        while (i < scores.length) {
+          val g = scores(i) - scores(i - 1)
+          if (g < minGap) minGap = g
+          i += 1
+        }
+        scores.length >= 2 && minGap > 1e-9
+      }
       val sentsArr = transform(
         sequence(lit(0), floor((size(col("toks")) - 1) / lit(8)).cast("int")),
         i => array_join(slice(col("toks"), i * 8 + 1, lit(8)), " "))
-      val prepared = s.read.parquet(p(dir, "documents"))
+      s.read.parquet(p(dir, "documents"))
         .select(col("doc_id"),
           filter(split(col("text"), "\\W+"), t => t =!= "").as("toks"))
         .filter(size(col("toks")) > 24)
         .select(col("doc_id"), sentsArr.as("sents"))
         .filter(length(concat(array_join(col("sents"), ". "), lit("."))) >= 100)
-      val chunks = prepared.select(col("doc_id"), posexplode(col("sents")))
-        .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
-      val nS = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sent"))
-      val tk = chunks.select(col("doc_id"), col("idx"),
-        explode(filter(split(lower(col("chunk")), "\\W+"), t => t =!= "")).as("word"))
-      val stop = graft.text.Stopwords.set.toSeq
-      val freq = tk.filter(!col("word").isin(stop.map(lit): _*))
-        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("f"))
-      val senttok = tk.join(freq, Seq("doc_id", "word"), "left")
-        .groupBy(col("doc_id"), col("idx"))
-        .agg(sum(coalesce(col("f"), lit(0L))).as("score_sum"),
-          count(lit(1)).as("n_words"))
-      val scored = senttok.join(nS, Seq("doc_id"))
-        .withColumn("score",
-          coalesce(col("score_sum").cast("double") / col("n_words"), lit(0.0)) *
-            when(col("idx") < col("n_sent") * 0.2 || col("idx") > col("n_sent") * 0.8,
-              lit(1.25)).otherwise(lit(1.0)))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("score"))
-      val elig = scored
-        .withColumn("gap", col("score") - lag(col("score"), 1).over(w))
-        .groupBy(col("doc_id")).agg(min(col("gap")).as("mingap"))
-        .filter(col("mingap") > 1e-9)
-        .select(col("doc_id"))
-      prepared
-        .join(elig, Seq("doc_id"), "left_semi")
+        .filter(eligUdf(col("sents")))
         .select(col("doc_id"),
           trim(regexp_replace(regexp_replace(
             sumUdf(concat(array_join(col("sents"), ". "), lit("."))),
