@@ -398,6 +398,34 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q39_sessionize_skew" -> ((s, dir) =>
+      // the skew-proof two-phase sessionize MUST equal the plain form
+      // — same DuckDB oracle as q35. bucketUs = 1 hour (only 2x the
+      // 30-min gap) forces heavy bucket-edge splitting + phase-2
+      // stitching, the hardest setting for the equivalence.
+      graft.ops.Sessions.sessionizeSkewAware(
+          s.read.parquet(p(dir, "events")), bucketUs = 3600L * 1000000L)
+        .orderBy(col("user_id"), col("session_idx"))),
+
+    "q40_asof_skew" -> ((s, dir) => {
+      // the skew-proof bucketed as-of MUST equal the union-window form
+      // — same DuckDB native-ASOF oracle as q36. 1-hour buckets force
+      // most matches through the carry path.
+      val ev = s.read.parquet(p(dir, "events"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_event_id"))
+      graft.ops.Joins.asofJoinSkewAware(purchases, clicks, "user_id", "ts", "ts",
+          Seq("click_event_id"), bucketUs = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("purchase_us"),
+          col("asof_time_us").as("click_us"),
+          col("asof_click_event_id").as("click_event_id"))
+        .withColumn("gap_us", col("purchase_us") - col("click_us"))
+        .orderBy(col("event_id"))
+    }),
+
     "q37_range_join" -> ((s, dir) => {
       // range join (bucketed interval form — equi-join on (key,
       // bucket), every pair exactly once): purchases inside each
@@ -1078,7 +1106,16 @@ object SparkEntry {
     * dir. Only SQL-expressible queries appear; kernel queries (x*) get
     * rows-only checks.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = baseOracleSql
+    // the skew-proof variants must be bit-equal to their plain twins:
+    // same oracle text, the strongest equivalence the driver can check
+    base +
+      ("q39_sessionize_skew" -> base("q35_sessionize")) +
+      ("q40_asof_skew" -> base("q36_asof_join"))
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q01_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

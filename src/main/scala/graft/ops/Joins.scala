@@ -67,6 +67,86 @@ object Joins {
       .select(left.columns.map(col) ++ outPayload: _*)
   }
 
+  /** Skew-proof [[asofJoin]] — identical output, bounded tasks.
+    *
+    * The union-window form serializes a whale key into one task; this
+    * form windows per (key, `bucketUs` time bucket) instead, so no
+    * task holds more than one bucket of one key. Matches that cross a
+    * bucket edge are preserved by a CARRY row per (key, left-bucket):
+    * the latest right row strictly before the bucket start, placed at
+    * the bucket start with a side tag sorting before any real right
+    * at the same instant (a real right at exactly the bucket start
+    * has time >= the carry's true time, so it correctly supersedes).
+    *
+    * The carry itself is computed skew-free: rights first collapse to
+    * per-(key, bucket) latest rows (a hash AGGREGATE — map-side
+    * combine absorbs a whale key), then one small union-window over
+    * those aggregates and the left's distinct (key, bucket)s — per
+    * key that is #buckets rows, bounded by time-span / bucketUs, not
+    * by data volume. Three shuffles total (right agg, carry window,
+    * main window), all on keys that include the bucket or operate on
+    * bucket-granular rows.
+    *
+    * Same semantics and contracts as [[asofJoin]]: right time <= left
+    * time, NULL right key/time never matches, (key, time) unique per
+    * side for determinism.
+    */
+  def asofJoinSkewAware(left: DataFrame, right: DataFrame, key: String,
+                        leftTime: String, rightTime: String,
+                        rightPayload: Seq[String],
+                        bucketUs: Long = 24L * 3600 * 1000 * 1000): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val reserved = left.columns.filter(c => c.startsWith("__") || c.startsWith("asof_"))
+    require(reserved.isEmpty,
+      s"asofJoinSkewAware reserves '__*' and 'asof_*' column names; left side has: ${reserved.mkString(", ")}")
+    def fdiv(c: org.apache.spark.sql.Column) =
+      call_function("div", c - pmod(c, lit(bucketUs)), lit(bucketUs))
+    val rUs = unix_micros(col(rightTime).cast("timestamp"))
+    val payloadCols = rUs.as("asof_time_us") +:
+      rightPayload.map(c => col(c).as(s"asof_$c"))
+    val r = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(Seq(col(key), rUs.as("__t"), struct(payloadCols: _*).as("__rp")): _*)
+      .withColumn("__b", fdiv(col("__t")))
+    // per-(key, bucket) latest right — an aggregate, whale-safe
+    val rAgg = r.groupBy(col(key), col("__b"))
+      .agg(max(col("__t")).as("__bt"), max_by(col("__rp"), col("__t")).as("__bp"))
+    val l = left
+      .withColumn("__t", unix_micros(col(leftTime).cast("timestamp")))
+      .withColumn("__b", fdiv(col("__t")))
+    // carry per (key, left bucket): latest bucket-aggregate strictly
+    // before the bucket start (probe time bucketStart - 1), via the
+    // same union-window trick over the SMALL per-bucket tables
+    val cw = Window.partitionBy(col(key)).orderBy(col("__ct"), col("__cs"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = l.select(col(key), col("__b")).distinct()
+      .withColumn("__ct", col("__b") * bucketUs - 1)
+      .withColumn("__cs", lit(1))
+      .unionByName(
+        rAgg.select(col(key), col("__b"), col("__bt").as("__ct"),
+          lit(0).as("__cs"), col("__bp")),
+        allowMissingColumns = true)
+      .withColumn("__carry", last(col("__bp"), ignoreNulls = true).over(cw))
+      .filter(col("__cs") === 1 && col("__carry").isNotNull)
+      .select(col(key), col("__b"), col("__carry"))
+    // main pass: per (key, bucket) — carry (side -1) < rights (0) <
+    // lefts (1) at equal time
+    val carryRows = carry
+      .select(col(key), col("__b"), (col("__b") * bucketUs).as("__t"),
+        col("__carry").as("__rp"), lit(-1).as("__side"))
+    val rRows = r.withColumn("__side", lit(0))
+    val lRows = l.withColumn("__side", lit(1))
+    val w = Window.partitionBy(col(key), col("__b")).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outPayload = col("__last.asof_time_us") +:
+      rightPayload.map(c => col(s"__last.asof_$c").as(s"asof_$c"))
+    lRows.unionByName(rRows, allowMissingColumns = true)
+      .unionByName(carryRows, allowMissingColumns = true)
+      .withColumn("__last", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++ outPayload: _*)
+  }
+
   /** Range (interval-containment) join: points to the intervals
     * [startUs, endUs) that contain them, per key. `pointUs`,
     * `startUs`, `endUs` are epoch-micros LONG columns.

@@ -84,4 +84,48 @@ class JoinsSpec extends AnyFunSuite {
       .select(col("pid")).collect().map(_.getLong(0)).sorted
     assert(neg.toSeq == Seq(200L, 202L))
   }
+
+  test("asofJoinSkewAware == asofJoin on an adversarial corpus (whale key, edge hits, carry chains)") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val bucketUs = 60L * 1000000L // 1-minute buckets force carries
+    val rnd = new scala.util.Random(42)
+    // whale key 1: dense lefts+rights across many buckets; key 2:
+    // rights only in early buckets (long carry chains); key 3: lefts
+    // exactly at bucket starts (the carry-vs-real-right tie rule);
+    // key 4: no rights at all
+    val lefts = Seq.newBuilder[(Long, Long, java.sql.Timestamp)]
+    val rights = Seq.newBuilder[(Long, Long, java.sql.Timestamp)]
+    var id = 0L
+    // distinct times per side — the (key, time)-unique determinism
+    // contract both forms share
+    val whaleLeftTs = rnd.shuffle((0 until 6000).toVector).take(400)
+    val whaleRightTs = rnd.shuffle((0 until 6000).toVector).take(134)
+    whaleLeftTs.foreach(t => lefts += ((1L, { id += 1; id }, ts(t.toLong))))
+    whaleRightTs.zipWithIndex.foreach { case (t, i) =>
+      rights += ((1L, 1000L + i, ts(t.toLong)))
+    }
+    for (i <- 0 until 40) {
+      lefts += ((2L, { id += 1; id }, ts(1000L + i * 37)))
+      if (i < 5) rights += ((2L, 2000L + i, ts(i.toLong * 7)))
+    }
+    for (i <- 0 until 10) {
+      lefts += ((3L, { id += 1; id }, ts(i * 60L)))       // exactly at bucket starts
+      rights += ((3L, 3000L + i, ts(i * 60L)))           // real right at the same instant
+      rights += ((3L, 3100L + i, ts(i * 60L - 1)))       // and one just before the edge
+    }
+    lefts += ((4L, { id += 1; id }, ts(777)))
+    val l = lefts.result().toDF("user_id", "event_id", "ts")
+    val r = rights.result().toDF("user_id", "rid", "ts")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("event_id")).collect().map(_.toSeq).toSeq
+    val plain = canon(Joins.asofJoin(l, r, "user_id", "ts", "ts", Seq("rid")))
+    val skew = canon(Joins.asofJoinSkewAware(l, r, "user_id", "ts", "ts",
+      Seq("rid"), bucketUs = bucketUs))
+    assert(skew == plain)
+    // and per-partition boundedness: the main window keys by (key, bucket)
+    val plan = Joins.asofJoinSkewAware(l, r, "user_id", "ts", "ts",
+      Seq("rid"), bucketUs = bucketUs).queryExecution.analyzed.toString
+    assert(plan.contains("__b"), "skew form must window per (key, bucket)")
+  }
 }
