@@ -398,6 +398,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q41_token_packing" -> ((s, dir) =>
+      // fixed-token-budget sharding (sequence packing) via the
+      // scalable prefix-sum form; the oracle is the naive global
+      // running-sum window the implementation must equal exactly
+      graft.ops.Packing.packByBudget(s.read.parquet(p(dir, "documents")),
+          budgetTokens = 500L, graft.ops.Packing.wordTokens(col("text")))
+        .orderBy(col("doc_id"))),
+
+    "q42_stratified_sample" -> ((s, dir) =>
+      // exact per-language quota sampling by deterministic md5 rank
+      // (two-phase skew-safe top-k); the oracle is the plain
+      // per-stratum row_number window
+      graft.ops.Sampling.stratifiedSample(
+          s.read.parquet(p(dir, "documents")), "lang", k = 25)
+        .orderBy(col("lang"), col("rn"))),
+
     "q39_sessionize_skew" -> ((s, dir) =>
       // the skew-proof two-phase sessionize MUST equal the plain form
       // — same DuckDB oracle as q35. bucketUs = 1 hour (only 2x the
@@ -1630,6 +1646,27 @@ object SparkEntry {
         |SELECT doc_id AS media_ref, (idx // 3)::INT AS column_id,
         |       string_agg(chunk, chr(10) || chr(10) ORDER BY idx) AS scope_text
         |FROM c GROUP BY 1, 2 ORDER BY media_ref, column_id""".stripMargin,
+
+    "q42_stratified_sample" ->
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 25 ORDER BY lang, rn""".stripMargin,
+
+    "q41_token_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\W+'), x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM t)
+        |SELECT doc_id, n_tokens, ((run - n_tokens) // 500)::BIGINT AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // Schema-specific twin of the schema-DYNAMIC profiler: one UNION
     // branch per documents column, each recomputing the profile row

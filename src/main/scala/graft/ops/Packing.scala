@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fixed-token-budget sharding ("sequence packing") — the step that
+  * turns a curated corpus into training shards of ~`budgetTokens`
+  * each: documents in a deterministic global order (by id) are
+  * assigned shard = floor(tokens_before_this_doc / budget), i.e. a
+  * new shard starts whenever the running token count crosses a
+  * budget boundary. The rule is a pure function of the global prefix
+  * sum, so the output is exactly SQL-expressible (one running-sum
+  * window — the DuckDB oracle) while the implementation is the
+  * SCALABLE form of that window:
+  *
+  *   1. range-partition by id (P ordered ranges);
+  *   2. per-partition running sums (a window keyed by partition id —
+  *      every group is one bounded range, no whale key possible);
+  *   3. per-partition totals -> driver-side prefix offsets (P
+  *      scalars, control-plane only — never data rows);
+  *   4. one map-side add of the broadcast offset.
+  *
+  * A naive `Window.orderBy(id)` with no partition key funnels the
+  * whole corpus through ONE task — the classic global-window trap;
+  * this is the standard parallel-prefix-sum escape. Output is
+  * invariant to P and to where the sampled range boundaries fall
+  * (the offsets are exact for whatever partitioning materialized).
+  *
+  * A document larger than `budgetTokens` keeps the deterministic
+  * rule: it starts in the shard its prefix lands in and later docs
+  * skip the boundaries it crossed.
+  */
+object Packing {
+
+  /** (idCol, nTokensCol) -> (idCol, n_tokens, shard). `nTokens` must
+    * be a non-negative column (negative values would break the
+    * max-running == partition-total step).
+    */
+  def packByBudget(docs: DataFrame, budgetTokens: Long, nTokens: Column,
+                   idCol: String = "doc_id", parts: Int = 0): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val spark = docs.sparkSession
+    val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    val ranged = docs
+      .select(col(idCol), nTokens.cast("long").as("n_tokens"))
+      .repartitionByRange(p, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__run", sum(col("n_tokens")).over(w))
+    // partition totals -> exclusive prefix offsets: P scalars on the
+    // driver (control plane), never data rows. Range partitions are
+    // assigned ascending ids, so pid order IS global id order.
+    val totals = local.groupBy(col("__pid"))
+      .agg(max(col("__run")).as("__tot"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val offsets = new Array[Long](p)
+    var acc = 0L
+    var i = 0
+    while (i < p) {
+      offsets(i) = acc
+      acc += totals.getOrElse(i, 0L)
+      i += 1
+    }
+    val offLit = typedLit(offsets.toSeq)
+    local
+      .withColumn("__before",
+        element_at(offLit, col("__pid") + 1) + col("__run") - col("n_tokens"))
+      .withColumn("shard",
+        call_function("div", col("__before") - pmod(col("__before"), lit(budgetTokens)),
+          lit(budgetTokens)))
+      .select(col(idCol), col("n_tokens"), col("shard"))
+  }
+
+  /** The q07-parity token count (`\W+` split, empties dropped) — the
+    * default `nTokens` for text corpora.
+    */
+  def wordTokens(textCol: Column): Column =
+    size(filter(split(textCol, "\\W+"), t => t =!= ""))
+}

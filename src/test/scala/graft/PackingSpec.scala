@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.Packing
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PackingSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-packing")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("packByBudget == the naive global running-sum window; invariant to partition count") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val rnd = new scala.util.Random(11)
+    // 500 docs, token counts 0..99, plus one 10x-budget monster and a
+    // zero-token doc — the boundary-skip and empty-doc edges
+    val rows = (0 until 500).map(i => (i.toLong, rnd.nextInt(100).toLong)) ++
+      Seq((500L, 1000L), (501L, 0L), (502L, 7L))
+    val df = rows.toDF("doc_id", "n")
+    val budget = 100L
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // naive oracle: one global window (the thing that does NOT scale)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = canon(df
+      .withColumn("n_tokens", col("n"))
+      .withColumn("run", sum(col("n")).over(w))
+      .withColumn("shard", ((col("run") - col("n")) - pmod(col("run") - col("n"), lit(budget))) / budget)
+      .select(col("doc_id"), col("n_tokens"), col("shard").cast("long")))
+    for (parts <- Seq(1, 3, 7, 32)) {
+      val got = canon(Packing.packByBudget(df, budget, col("n"), parts = parts))
+      assert(got == naive, s"parts=$parts diverged from the global-window oracle")
+    }
+    // shard boundaries: consecutive docs, shard never decreases, and
+    // the monster doc advances the shard counter by ~10
+    val shards = naive.map(_._3)
+    assert(shards.zip(shards.tail).forall { case (a, b) => b >= a })
+    val monsterIdx = naive.indexWhere(_._1 == 500L)
+    assert(naive(monsterIdx + 2)._3 - naive(monsterIdx)._3 >= 9)
+  }
+}

@@ -162,6 +162,34 @@ class PlanSpec extends AnyFunSuite {
     assert(sHash <= 2, s"sessionize: expected one data shuffle (x2 AQE print), got $sHash:\n$sPlan")
   }
 
+  test("skew-proof forms bound their shuffles: sessionizeSkewAware 2, asofJoinSkewAware 3 data exchanges") {
+    // sessionizeSkewAware: (user,bucket) window+local agg reuse one
+    // exchange, user-keyed phase 2 window+final agg reuse a second —
+    // more than 2 means a phase stopped reusing its exchange and the
+    // corpus shuffles again at 100 TB
+    val sk = graft.ops.Sessions.sessionizeSkewAware(
+      spark.read.parquet(s"$sfDir/events.parquet"),
+      bucketUs = 3600L * 1000000L)
+    sk.collect()
+    val skPlan = planOf(sk)
+    val skHash = "Exchange hashpartitioning".r.findAllIn(skPlan).length
+    assert(skHash <= 4, s"sessionizeSkewAware: expected two data shuffles (x2 AQE print), got $skHash:\n$skPlan")
+    // asofJoinSkewAware: right per-bucket agg, the small carry window,
+    // and the (key,bucket) main window — the carry path must stay on
+    // bucket-granular rows, never re-shuffling event-granular data
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val aj = graft.ops.Joins.asofJoinSkewAware(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts")),
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_event_id")),
+      "user_id", "ts", "ts", Seq("click_event_id"), bucketUs = 3600L * 1000000L)
+    aj.collect()
+    val ajPlan = planOf(aj)
+    val ajHash = "Exchange hashpartitioning".r.findAllIn(ajPlan).length
+    assert(ajHash <= 8, s"asofJoinSkewAware: expected <=4 data shuffles (x2 AQE print), got $ajHash:\n$ajPlan")
+  }
+
   test("OCR runs once per distinct content hash (cache semantics, C5/P1)") {
     // count kernel invocations via an accumulator-free proxy: the
     // distinct-content side row count equals distinct sha2 of media
