@@ -98,8 +98,12 @@ object Bench {
     try {
       val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
       val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-      val idle = (if (f.length > 3) f(3) else 0L) + (if (f.length > 4) f(4) else 0L)
-      (if (f.length > 7) f(7) else 0L, f.sum, f.sum - idle)
+      def at(i: Int) = if (f.length > i) f(i) else 0L
+      // busy = in-guest work only: drop idle+iowait AND steal/guest
+      // (steal is not a co-tenant process in this guest; guest/
+      // guest_nice are already folded into user/nice by the kernel)
+      val notBusy = at(3) + at(4) + at(7) + at(8) + at(9)
+      (at(7), f.sum, f.sum - notBusy)
     } catch { case _: Throwable => (0L, 1L, 0L) }
 
   /** This JVM's cumulative cpu seconds (the sbt/bench parent). */
@@ -377,6 +381,11 @@ object Bench {
       val fn = SparkEntry.queries(name)
       if (noSweep || (!head.contains(name) && System.nanoTime() > deadline)) name -> -2.0
       else {
+        // a PREVIOUS query's timed-out streaming job may only have
+        // started after its timeout-path sweep ran (the cap fired
+        // while its future was still building the stream) — stop any
+        // leftover stream before timing this query
+        s4.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
         val t0 = System.nanoTime()
         val group = s"q-$name"
         // closes the cancel/setJobGroup race: if the timeout fires

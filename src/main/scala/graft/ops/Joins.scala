@@ -100,7 +100,7 @@ object Joins {
     require(reserved.isEmpty,
       s"asofJoinSkewAware reserves '__*' and 'asof_*' column names; left side has: ${reserved.mkString(", ")}")
     def fdiv(c: org.apache.spark.sql.Column) =
-      call_function("div", c - pmod(c, lit(bucketUs)), lit(bucketUs))
+      graft.util.SqlCols.floorDiv(c, bucketUs)
     val rUs = unix_micros(col(rightTime).cast("timestamp"))
     val payloadCols = rUs.as("asof_time_us") +:
       rightPayload.map(c => col(c).as(s"asof_$c"))
@@ -163,13 +163,8 @@ object Joins {
                 pointUs: String, startUs: String, endUs: String,
                 bucketUs: Long): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
-    // floor division (DIV truncates toward zero — off-by-one bucket
-    // for pre-1970 negative micros): (a - pmod(a, b)) is exactly
-    // divisible, and the division stays in LONG (IntegralDivide) —
-    // Spark's `/` casts to double, which is exact only below 2^53
-    // and would silently drift buckets for large epoch-micros
     def fdiv(c: org.apache.spark.sql.Column) =
-      call_function("div", c - pmod(c, lit(bucketUs)), lit(bucketUs))
+      graft.util.SqlCols.floorDiv(c, bucketUs)
     val p = points.withColumn("__bucket", fdiv(col(pointUs)))
     // empty/inverted intervals ([s, e) with e <= s) match nothing by
     // definition — and MUST be dropped before the explode: Spark's

@@ -48,7 +48,15 @@ object Packing {
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // localCheckpoint PINS the materialized partitioning: the totals
+    // collect below and the returned frame are separate jobs, and
+    // RangePartitioner re-samples its bounds per job — without the
+    // pin, a doc near a boundary could land in pid P for the totals
+    // job but pid P+1 for the output job, silently corrupting every
+    // downstream offset. Also avoids tokenizing the corpus twice.
+    // The checkpointed projection is 3 slim columns, executor-local.
     val local = ranged.withColumn("__run", sum(col("n_tokens")).over(w))
+      .localCheckpoint()
     // partition totals -> exclusive prefix offsets: P scalars on the
     // driver (control plane), never data rows. Range partitions are
     // assigned ascending ids, so pid order IS global id order.
@@ -69,9 +77,7 @@ object Packing {
     local
       .withColumn("__before",
         element_at(offLit, col("__pid") + 1) + col("__run") - col("n_tokens"))
-      .withColumn("shard",
-        call_function("div", col("__before") - pmod(col("__before"), lit(budgetTokens)),
-          lit(budgetTokens)))
+      .withColumn("shard", graft.util.SqlCols.floorDiv(col("__before"), budgetTokens))
       .select(col(idCol), col("n_tokens"), col("shard"))
   }
 

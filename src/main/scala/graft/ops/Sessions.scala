@@ -83,8 +83,7 @@ object Sessions {
     require(bucketUs > gapUs, "bucketUs must exceed gapUs (bucket edges force splits)")
     import org.apache.spark.sql.expressions.Window
     val us = col("__us")
-    // integer floor division (negative-epoch-safe, stays in LONG)
-    val bucket = call_function("div", us - pmod(us, lit(bucketUs)), lit(bucketUs))
+    val bucket = graft.util.SqlCols.floorDiv(us, bucketUs)
     val w = Window.partitionBy(col("user_id"), col("__b")).orderBy(us)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = events

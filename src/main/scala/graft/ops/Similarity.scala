@@ -191,31 +191,23 @@ object Similarity {
     val sample = (if (residual)
         sample0.withColumn("__cell", nearestCentroid(col("v"), coarse))
       else sample0.withColumn("__cell", lit(0))).persist()
-    // driver-side twin of the kernel's argmin (first minimum wins) for
-    // the `codes`-row init collect
-    def nearestIdx(v: Array[Double]): Int = {
-      var best = 0; var bd = Double.PositiveInfinity; var c = 0
-      while (c < coarse.length) {
-        var d2 = 0.0; var d = 0
-        while (d < dim) { val x = v(d) - coarse(c)(d); d2 += x * x; d += 1 }
-        if (d2 < bd) { bd = d2; best = c }
-        c += 1
-      }
-      best
-    }
     try {
       // one init collect for ALL subspaces (the same first-`codes`
-      // sample vectors — residuals in residual mode — sliced per
-      // subspace)
+      // sample vectors — residuals in residual mode, against the
+      // KERNEL-assigned cell the sample row already carries (__cell),
+      // so init and Lloyd rounds agree bit-for-bit on near-equidistant
+      // vectors — sliced per subspace)
       val initFull: Array[Array[Double]] = sample
         .orderBy(xxhash64(col("id")), col("id"))
         .limit(codes)
         .collect()
-        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-        .map(v => if (residual) {
-          val c = coarse(nearestIdx(v))
-          Array.tabulate(dim)(i => v(i) - c(i))
-        } else v)
+        .map { r =>
+          val v = r.getSeq[Float](1).map(_.toDouble).toArray
+          if (residual) {
+            val c = coarse(r.getInt(2))
+            Array.tabulate(dim)(i => v(i) - c(i))
+          } else v
+        }
       var books: Array[Array[Array[Double]]] =
         Array.tabulate(m)(s => initFull.map(_.slice(s * subDim, (s + 1) * subDim)))
       // each Lloyd round is ONE distributed aggregation covering every
