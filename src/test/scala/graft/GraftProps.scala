@@ -196,6 +196,45 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("residual pq: zero coarse == raw; shift law; ragged vectors and bad cells degrade, never crash") =
+    forAll(vecGen, Gen.choose(1, 4), Gen.choose(1, 6), Gen.choose(0, 3)) { (v0, m0, codes, cell) =>
+      val m = math.min(m0, v0.length)
+      val subDim = v0.length / m
+      val v = v0.take(m * subDim)
+      subDim == 0 || {
+        val dim = m * subDim
+        val cb = Array.tabulate(m, codes, subDim)((s, c, d) =>
+          graft.util.Det.double01(graft.util.Det.at(0x5a1L + s * 31 + c, d.toLong)) * 4 - 2)
+        val flat = cb.flatten.flatten
+        val nCells = 4
+        // (a) zero coarse centroids: residual encode/adc == raw
+        val zero = new Array[Double](nCells * dim)
+        val raw = graft.functions.PqKernels.encode(fad(v), true, flat, m, codes, subDim)
+        val res0 = graft.functions.PqKernels.encodeRes(fad(v), true, flat, m, codes, subDim, zero, cell)
+        val adcRaw = graft.functions.PqKernels.adc(fad(v), true, raw, flat, m, codes, subDim)
+        val adc0 = graft.functions.PqKernels.adcRes(fad(v), true, raw, flat, m, codes, subDim, zero, cell)
+        // (b) shift law: encoding v against coarse c == encoding the
+        // DOUBLE residual (v - c) raw (doubles, matching the kernel's
+        // internal arithmetic exactly — a float round-trip would not)
+        val coarse = Array.tabulate(nCells * dim)(i =>
+          graft.util.Det.double01(graft.util.Det.at(0xc0aL, i.toLong)) * 2 - 1)
+        val shifted = Array.tabulate(dim)(i => v(i).toDouble - coarse(cell * dim + i))
+        val dad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          shifted.map(x => Double.box(x): Any))
+        val resC = graft.functions.PqKernels.encodeRes(fad(v), true, flat, m, codes, subDim, coarse, cell)
+        val rawShift = graft.functions.PqKernels.encode(dad, false, flat, m, codes, subDim)
+        // (c) the corrupt-input contract: a ragged vector (shorter than
+        // m*subDim) and an out-of-range cell id must degrade
+        // deterministically, not read out of bounds
+        val ragged = fad(v.take(math.max(1, dim / 2)))
+        val r1 = graft.functions.PqKernels.encodeRes(ragged, true, flat, m, codes, subDim, coarse, -5)
+        val r2 = graft.functions.PqKernels.adcRes(ragged, true, raw, flat, m, codes, subDim, coarse, 99)
+        raw.sameElements(res0) && adcRaw == adc0 &&
+          resC.sameElements(rawShift) &&
+          r1.length == m && !r2.isNaN
+      }
+    }
+
   property("pq codes (array<int>) agree with the byte encoding") =
     forAll(vecGen, Gen.choose(1, 4), Gen.choose(1, 6)) { (v0, m0, codes) =>
       val m = math.min(m0, v0.length)
