@@ -414,6 +414,28 @@ object SparkEntry {
           s.read.parquet(p(dir, "documents")), "lang", k = 25)
         .orderBy(col("lang"), col("rn"))),
 
+    "q43_curation_pipeline" -> ((s, dir) => {
+      // the END-TO-END training-data pipeline, composed and checked as
+      // ONE query: curation verdict (exact-dup keeper x quality x
+      // language x Gopher x MinHash near-dup losers) -> exact
+      // per-language quota sample (deterministic md5 rank) ->
+      // token-budget packing of the survivors. Every stage is
+      // individually oracled (q34/x25, q42, q41); this oracles the
+      // COMPOSITION — the query a real curation run actually ships.
+      val docs = s.read.parquet(p(dir, "documents"))
+      val kept = graft.ops.Curation.verdictFull(docs, nearDupThreshold = 0.2)
+        .filter(col("keep"))
+        .select(col("doc_id"), col("predicted_lang"))
+      val samp = graft.ops.Sampling.stratifiedSample(kept, "predicted_lang", k = 20)
+      val packed = graft.ops.Packing.packByBudget(
+        samp.join(docs.select(col("doc_id"), col("text")), Seq("doc_id")),
+        budgetTokens = 400L, graft.ops.Packing.wordTokens(col("text")))
+      samp.join(packed, Seq("doc_id"))
+        .select(col("doc_id"), col("predicted_lang"), col("rn"),
+          col("n_tokens"), col("shard"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q39_sessionize_skew" -> ((s, dir) =>
       // the skew-proof two-phase sessionize MUST equal the plain form
       // — same DuckDB oracle as q35. bucketUs = 1 hour (only 2x the
@@ -1646,6 +1668,47 @@ object SparkEntry {
         |SELECT doc_id AS media_ref, (idx // 3)::INT AS column_id,
         |       string_agg(chunk, chr(10) || chr(10) ORDER BY idx) AS scope_text
         |FROM c GROUP BY 1, 2 ORDER BY media_ref, column_id""".stripMargin,
+
+    // The composition oracle: q34/x25's verdict CTEs -> q42's sample
+    // window -> q41's running-sum packing, in one SQL program.
+    "q43_curation_pipeline" ->
+      s"""WITH $duckGopherCtes,
+         |$duckQualCte,
+         |$duckLangCte,
+         |keepers AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+         |losers AS (
+         |  SELECT DISTINCT id_b AS doc_id
+         |  FROM read_parquet('__VERIFY_OUT__/x04_minhash_lsh/*.parquet')),
+         |kept AS (
+         |  SELECT d.doc_id, lang.predicted_lang
+         |  FROM documents d
+         |  LEFT JOIN keepers k ON d.doc_id = k.doc_id
+         |  LEFT JOIN losers lo ON d.doc_id = lo.doc_id
+         |  JOIN qual ON d.doc_id = qual.doc_id
+         |  JOIN lang ON d.doc_id = lang.doc_id
+         |  JOIN gq2 ON d.doc_id = gq2.doc_id
+         |  WHERE k.doc_id IS NOT NULL AND qual.quality_score >= 0.3
+         |    AND lang.predicted_lang IN ('en', 'id') AND gq2.gopher_keep
+         |    AND lo.doc_id IS NULL),
+         |samp AS (
+         |  SELECT doc_id, predicted_lang, rn FROM (
+         |    SELECT doc_id, predicted_lang,
+         |      row_number() OVER (PARTITION BY predicted_lang
+         |                         ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+         |    FROM kept) t WHERE rn <= 20),
+         |tok AS (
+         |  SELECT s.doc_id, s.predicted_lang, s.rn,
+         |    len(list_filter(string_split_regex(d.text, '\\W+'), x -> x <> ''))::BIGINT AS n_tokens
+         |  FROM samp s JOIN documents d ON s.doc_id = d.doc_id),
+         |cum AS (
+         |  SELECT *, sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM tok)
+         |SELECT doc_id, predicted_lang, rn, n_tokens,
+         |  ((c - n_tokens) // 400)::BIGINT AS shard
+         |FROM cum ORDER BY doc_id""".stripMargin,
 
     "q42_stratified_sample" ->
       """SELECT lang, doc_id, rn FROM (
