@@ -624,7 +624,9 @@ object SparkEntry {
           trim(regexp_replace(regexp_replace(
             sumUdf(concat(array_join(col("sents"), ". "), lit("."))),
             "[.!?]", ""), "\\s+", " ")).as("summary"))
-        .orderBy(col("doc_id"))
+      // no trailing orderBy: a global sort range-samples its child,
+      // evaluating the kernel-summarizer chain TWICE; the driver's
+      // compare sorts by all columns itself
     }),
 
     "x08_ngram_jaccard" -> ((s, dir) => {
