@@ -414,6 +414,36 @@ object SparkEntry {
           s.read.parquet(p(dir, "documents")), "lang", k = 25)
         .orderBy(col("lang"), col("rn"))),
 
+    "q44_decontaminate" -> ((s, dir) => {
+      // benchmark-overlap decontamination: the eval set is a
+      // deterministic corpus slice (doc_id % 97 == 0), so every slice
+      // doc must self-flag and overlap-by-8-gram is exactly checkable
+      val docs = s.read.parquet(p(dir, "documents"))
+      graft.ops.Dedup.decontaminate(docs,
+          docs.filter(pmod(col("doc_id"), lit(97)) === 0), n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q45_paragraph_dedup" -> ((s, dir) => {
+      // CCNet-style cross-corpus paragraph dedup over 10-token
+      // "paragraphs" (the x13 chunking), with planted duplicate docs
+      // (doc_id % 50 copies at id+10000) whose paragraphs must all
+      // lose to their originals
+      val docs = s.read.parquet(p(dir, "documents")).select(col("doc_id"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      val toks = filter(split(col("text"), "\\W+"), t => t =!= "")
+      val paras = docs.unionByName(planted)
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), floor((size(col("toks")) - 1) / lit(10)).cast("int")),
+          i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " "))))
+        .withColumnRenamed("pos", "idx").withColumnRenamed("col", "para")
+      graft.ops.Dedup.paragraphDedup(paras)
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
     "q43_curation_pipeline" -> ((s, dir) => {
       // the END-TO-END training-data pipeline, composed and checked as
       // ONE query: curation verdict (exact-dup keeper x quality x
@@ -1670,6 +1700,48 @@ object SparkEntry {
         |SELECT doc_id AS media_ref, (idx // 3)::INT AS column_id,
         |       string_agg(chunk, chr(10) || chr(10) ORDER BY idx) AS scope_text
         |FROM c GROUP BY 1, 2 ORDER BY media_ref, column_id""".stripMargin,
+
+    "q44_decontaminate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN len(toks) >= 8 THEN array_to_string(toks[u.i+1 : u.i+8], ' ')
+        |         ELSE array_to_string(toks, ' ') END AS gram
+        |  FROM tk, LATERAL unnest(generate_series(0, greatest(len(toks) - 8, 0))) u(i)
+        |  WHERE len(toks) >= 8 OR u.i = 0),
+        |hits AS (
+        |  SELECT d.doc_id, count(DISTINCT d.gram) AS n_hits
+        |  FROM g d
+        |  WHERE d.gram IN (SELECT gram FROM g WHERE doc_id % 97 = 0)
+        |  GROUP BY 1)
+        |SELECT t.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM tk t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q45_paragraph_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0),
+        |t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\W+'), x -> x <> '') AS toks
+        |  FROM src WHERE len(list_filter(string_split_regex(text, '\W+'), x -> x <> '')) > 0),
+        |c AS (
+        |  SELECT doc_id, u.i AS idx,
+        |         array_to_string(toks[u.i*10+1 : u.i*10+10], ' ') AS para
+        |  FROM t, LATERAL unnest(generate_series(0, (len(toks)-1)//10)) u(i)),
+        |keyed AS (
+        |  SELECT doc_id, idx, para,
+        |    md5(trim(regexp_replace(lower(para), '\s+', ' ', 'g'))) AS h
+        |  FROM c),
+        |k AS (SELECT h, min(doc_id * 100000 + idx) AS mk FROM keyed GROUP BY 1)
+        |SELECT keyed.doc_id, keyed.idx, keyed.para
+        |FROM keyed JOIN k ON keyed.h = k.h
+        |  AND keyed.doc_id * 100000 + keyed.idx = k.mk
+        |ORDER BY keyed.doc_id, keyed.idx""".stripMargin,
 
     // The composition oracle: q34/x25's verdict CTEs -> q42's sample
     // window -> q41's running-sum packing, in one SQL program.

@@ -291,4 +291,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
   }
+
+  /** Test-set decontamination (the GPT-3-style benchmark-overlap
+    * rule): flag every document sharing at least one word `n`-gram
+    * with the benchmark/eval set, with the count of distinct shared
+    * grams kept queryable. Same shingle definition as the MinHash
+    * family (lowercase, \\W+ tokens, short docs degrade to one
+    * shingle).
+    *
+    * Scale shape: the benchmark gram set is eval-set-sized (Catalyst
+    * broadcasts it under the threshold; above it the semi-join is one
+    * hash shuffle on the gram), the corpus side is explode ->
+    * semi-join -> doc-keyed count — no corpus self-join anywhere.
+    *
+    * Output: (idCol, n_hits, contaminated) for EVERY input doc.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    benchTextCol: String = "text"): DataFrame = {
+    val bg = benchmark
+      .select(explode(shingles(col(benchTextCol), n)).as("__g"))
+      .distinct()
+    val hits = docs
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("__g"))
+      .join(bg, Seq("__g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** Cross-corpus paragraph dedup (the CCNet rule): every duplicated
+    * paragraph keeps exactly its FIRST occurrence — the one with the
+    * lowest (doc id, position) — and drops everywhere else. Input is
+    * the exploded paragraph table (id, idx, para); normalization is
+    * the exact-dedup fingerprint (lowercase + whitespace collapse).
+    *
+    * One hash shuffle on the 16-byte fingerprint; the keeper per
+    * gram is a min-of-struct AGGREGATE (map-side combine — a
+    * boilerplate paragraph repeated 10^9 times collapses in the
+    * partial agg, no window, no skew blowup), then a semi-join back.
+    */
+  def paragraphDedup(paras: DataFrame, idCol: String = "doc_id",
+                     idxCol: String = "idx", paraCol: String = "para"): DataFrame = {
+    val keyed = paras.withColumn("__h", fingerprint(col(paraCol)))
+    val keepers = keyed
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col(idxCol))).as("__k"))
+      .select(col("__h"), col("__k")(idCol).as(idCol), col("__k")(idxCol).as(idxCol))
+    keyed.join(keepers, Seq("__h", idCol, idxCol), "left_semi")
+      .drop("__h")
+  }
 }

@@ -104,6 +104,35 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 6L || p._2 == 6L), s"unrelated paired: $pairs")
   }
 
+  test("decontaminate flags n-gram overlap with the benchmark; empty benchmark flags nothing") {
+    val d = docs(
+      (1L, (1 to 12).map(i => s"w$i").mkString(" ")),          // contains benchmark gram
+      (2L, (20 to 40).map(i => s"v$i").mkString(" ")),         // clean
+      (3L, (5 to 12).map(i => s"w$i").mkString(" ")))          // exactly the benchmark 8-gram
+    val bench = docs((100L, (5 to 12).map(i => s"w$i").mkString(" ")))
+    val out = Dedup.decontaminate(d, bench, n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (1L, true))   // shares the w5..w12 gram
+    assert(out(2L) == (0L, false))
+    assert(out(3L) == (1L, true))
+    val none = Dedup.decontaminate(d, docs(), n = 8).collect()
+    assert(none.forall(!_.getBoolean(2)))
+  }
+
+  test("paragraphDedup keeps exactly the first (doc, idx) occurrence of each normalized paragraph") {
+    import spark.implicits._
+    val paras = Seq(
+      (1L, 0, "alpha beta"), (1L, 1, "gamma delta"),
+      (2L, 0, "ALPHA   beta"),          // normalized dup of (1,0) -> drops
+      (2L, 1, "unique two"),
+      (0L, 5, "gamma delta"),           // LOWER doc id -> (1,1) drops instead
+      (3L, 0, "alpha beta")             // drops
+    ).toDF("doc_id", "idx", "para")
+    val kept = Dedup.paragraphDedup(paras)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(kept == Set((1L, 0), (0L, 5), (2L, 1)))
+  }
+
   test("lsh bucket cap bounds flooded buckets; audit companion enumerates the exclusions") {
     // boilerplate corpus: near-identical docs that defeat the exact-dup
     // collapse (one unique token each) and flood shared band buckets
