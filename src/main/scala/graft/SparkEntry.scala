@@ -432,14 +432,8 @@ object SparkEntry {
       val docs = s.read.parquet(p(dir, "documents")).select(col("doc_id"), col("text"))
       val planted = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
         .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
-      val toks = filter(split(col("text"), "\\W+"), t => t =!= "")
-      val paras = docs.unionByName(planted)
-        .select(col("doc_id"), toks.as("toks"))
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"), posexplode(transform(
-          sequence(lit(0), floor((size(col("toks")) - 1) / lit(10)).cast("int")),
-          i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " "))))
-        .withColumnRenamed("pos", "idx").withColumnRenamed("col", "para")
+      val paras = chunks10(docs.unionByName(planted))
+        .withColumnRenamed("chunk", "para")
       graft.ops.Dedup.paragraphDedup(paras)
         .orderBy(col("doc_id"), col("idx"))
     }),
@@ -456,7 +450,11 @@ object SparkEntry {
       val kept = graft.ops.Curation.verdictFull(docs, nearDupThreshold = 0.2)
         .filter(col("keep"))
         .select(col("doc_id"), col("predicted_lang"))
+      // pin the sample: it feeds BOTH packByBudget and the final join,
+      // and its lineage contains the MinHash-LSH self-join — without
+      // the pin the whole near-dup pass runs twice
       val samp = graft.ops.Sampling.stratifiedSample(kept, "predicted_lang", k = 20)
+        .localCheckpoint()
       val packed = graft.ops.Packing.packByBudget(
         samp.join(docs.select(col("doc_id"), col("text")), Seq("doc_id")),
         budgetTokens = 400L, graft.ops.Packing.wordTokens(col("text")))
@@ -712,15 +710,7 @@ object SparkEntry {
       // each column's paragraph texts "\n\n" in paragraph-id order.
       // The OCR-structure path stays covered by x03/x15 + ScopeSpec;
       // the kernel summary is x07's oracle, dropped here like x13.
-      val docs = s.read.parquet(p(dir, "documents"))
-      val toks = filter(split(col("text"), "\\W+"), t => t =!= "")
-      val chunks = docs
-        .select(col("doc_id"), toks.as("toks"))
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"), posexplode(transform(
-          sequence(lit(0), floor((size(col("toks")) - 1) / lit(10)).cast("int")),
-          i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " "))))
-        .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
+      val chunks = chunks10(s.read.parquet(p(dir, "documents")))
       val structures = chunks
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(struct(col("idx"), col("chunk")))).as("sp"))
@@ -743,15 +733,7 @@ object SparkEntry {
       // (each document's text split into 10-token pages) so the scope
       // operator gets a DuckDB oracle; the OCR-content page scope stays
       // covered by x14 + the PipelineSpec north-rule fixtures.
-      val docs = s.read.parquet(p(dir, "documents"))
-      val toks = filter(split(col("text"), "\\W+"), t => t =!= "")
-      val chunks = docs
-        .select(col("doc_id"), toks.as("toks"))
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"), posexplode(transform(
-          sequence(lit(0), floor((size(col("toks")) - 1) / lit(10)).cast("int")),
-          i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " "))))
-        .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
+      val chunks = chunks10(s.read.parquet(p(dir, "documents")))
       val assembled = chunks
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(struct(col("idx"), col("chunk")))).as("sp"))
@@ -990,6 +972,22 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("page"))
     })
   )
+
+  /** The shared 10-token chunking (x12/x13/q45 and their oracles'
+    * LATERAL twin): (doc_id, idx, chunk) — non-empty \\W+ tokens in
+    * runs of 10 joined by single spaces. Change it in one place or
+    * three DuckDB oracles desynchronize.
+    */
+  private def chunks10(docs: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), "\\W+"), t => t =!= "")
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), floor((size(col("toks")) - 1) / lit(10)).cast("int")),
+        i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " "))))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
+  }
 
   /** Synthetic video/audio containers with CLOSED-FORM parameters
     * (n_frames = i%6+3, n_samples = 4000 + i*37 mod 8000): the x09/x10
@@ -1737,11 +1735,11 @@ object SparkEntry {
         |  SELECT doc_id, idx, para,
         |    md5(trim(regexp_replace(lower(para), '\s+', ' ', 'g'))) AS h
         |  FROM c),
-        |k AS (SELECT h, min(doc_id * 100000 + idx) AS mk FROM keyed GROUP BY 1)
-        |SELECT keyed.doc_id, keyed.idx, keyed.para
-        |FROM keyed JOIN k ON keyed.h = k.h
-        |  AND keyed.doc_id * 100000 + keyed.idx = k.mk
-        |ORDER BY keyed.doc_id, keyed.idx""".stripMargin,
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+        |  FROM keyed)
+        |SELECT doc_id, idx, para FROM rk WHERE rn = 1
+        |ORDER BY doc_id, idx""".stripMargin,
 
     // The composition oracle: q34/x25's verdict CTEs -> q42's sample
     // window -> q41's running-sum packing, in one SQL program.
