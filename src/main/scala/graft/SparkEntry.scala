@@ -414,6 +414,16 @@ object SparkEntry {
           s.read.parquet(p(dir, "documents")), "lang", k = 25)
         .orderBy(col("lang"), col("rn"))),
 
+    "q46_lm_cross_entropy" -> ((s, dir) => {
+      // CCNet's LM-quality leg: unigram cross-entropy under a
+      // Laplace-smoothed model trained on a deterministic reference
+      // slice (doc_id % 3 == 0)
+      val docs = s.read.parquet(p(dir, "documents"))
+      graft.ops.LmScore.unigramCrossEntropy(docs,
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     "q44_decontaminate" -> ((s, dir) => {
       // benchmark-overlap decontamination: the eval set is a
       // deterministic corpus slice (doc_id % 97 == 0), so every slice
@@ -1698,6 +1708,21 @@ object SparkEntry {
         |SELECT doc_id AS media_ref, (idx // 3)::INT AS column_id,
         |       string_agg(chunk, chr(10) || chr(10) ORDER BY idx) AS scope_text
         |FROM c GROUP BY 1, 2 ORDER BY media_ref, column_id""".stripMargin,
+
+    "q46_lm_cross_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |refc AS (
+        |  SELECT word, count(*) AS c FROM tok WHERE doc_id % 3 = 0 GROUP BY 1),
+        |consts AS (
+        |  SELECT coalesce(sum(c), 0) + count(*) AS denom FROM refc)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  round(avg(-ln((coalesce(r.c, 0) + 1) / greatest(consts.denom, 1)::DOUBLE)), 4)
+        |    AS cross_entropy
+        |FROM tok t LEFT JOIN refc r ON t.word = r.word, consts
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "q44_decontaminate" ->
       """WITH tk AS (
