@@ -210,7 +210,7 @@ object Bench {
       */
     def quiet(bigCores: Int): Boolean =
       if (cpuN < 0 || cpu4 < 0) load < 2.0
-      else extCores < 0.5 && busy4(bigCores) >= 0.85
+      else extCores < 0.5 && busy4(bigCores) >= 0.85 && stealPct < 0.5
   }
 
   def main(args: Array[String]): Unit = {
@@ -244,7 +244,10 @@ object Bench {
     // warmup+servers push it past 2.0 on an idle box. The headline is
     // the median over quiet pairs; a loaded window must not become
     // the artifact of record.
-    val quietRule = "ext_cores<0.5 & cpu_busy_4n>=0.85"
+    // steal joined the rule in r4 after a pair with 1.7% steal and
+    // eff 0.556 classified quiet (ext_cores can't see HOST-side
+    // contention; visible steal can)
+    val quietRule = "ext_cores<0.5 & cpu_busy_4n>=0.85 & steal_pct<0.5"
     // 5 quiet pairs: the short 4N runs vary ~±15% run-to-run on this
     // box even in quiet windows, and a 3-pair median is hostage to one
     // outlier; 5 stabilizes it at ~36 s/pair
