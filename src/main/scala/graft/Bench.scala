@@ -19,13 +19,18 @@ import org.apache.spark.sql.SparkSession
   *  - scaling efficiency is computed PER PAIR (one coherent window)
   *    and the headline is the MEDIAN pair — never best-of-levels
   *    picked independently;
-  *  - the 1-minute load average and the /proc/stat steal share are
-  *    recorded around every run and emitted alongside, so a loaded
-  *    window is visible in the data rather than argued after the fact.
+  *  - the 1-minute load average, co-tenant CPU (ext_cores), child
+  *    CPU utilization, and the /proc/stat steal share are recorded
+  *    around every run and emitted per pair, and the headline median
+  *    is taken over the pairs the PRE-DECLARED quiet rule accepts —
+  *    a loaded window is excluded by data, not argued after the fact.
   *
-  * Prints ONE JSON line to stdout (unprefixed — build.sbt sets
-  * `outputStrategy := StdoutOutput` for forked runs) and writes the
-  * same JSON to BENCH/last_run.json.
+  * Prints the full pairs+queries JSON, then a compact ~400-byte
+  * headline JSON as the LAST stdout line (the consumer tail-captures
+  * ~2000 chars and parses the final line; the full record outgrew
+  * that), and writes the full JSON to BENCH/last_run.json.
+  * (Stdout is unprefixed — build.sbt sets `outputStrategy :=
+  * StdoutOutput` for forked runs.)
   */
 object Bench {
 
