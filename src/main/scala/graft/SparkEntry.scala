@@ -414,6 +414,18 @@ object SparkEntry {
           s.read.parquet(p(dir, "documents")), "lang", k = 25)
         .orderBy(col("lang"), col("rn"))),
 
+    "q47_neardup_components" -> ((s, dir) => {
+      // transitive near-dup clustering: connected components over the
+      // x04 MinHash pair graph (min-label propagation); singleton
+      // docs keep their own id. The oracle recomputes components from
+      // Verify's x04 dump with a recursive CTE.
+      val docs = s.read.parquet(p(dir, "documents"))
+      val pairs = graft.ops.Dedup.minhashLsh(docs, threshold = 0.2)
+        .select(col("id_a"), col("id_b"))
+      graft.ops.Dedup.connectedComponents(pairs, docs.select(col("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     "q46_lm_cross_entropy" -> ((s, dir) => {
       // CCNet's LM-quality leg: unigram cross-entropy under a
       // Laplace-smoothed model trained on a deterministic reference
@@ -1708,6 +1720,17 @@ object SparkEntry {
         |SELECT doc_id AS media_ref, (idx // 3)::INT AS column_id,
         |       string_agg(chunk, chr(10) || chr(10) ORDER BY idx) AS scope_text
         |FROM c GROUP BY 1, 2 ORDER BY media_ref, column_id""".stripMargin,
+
+    "q47_neardup_components" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT id_a, id_b FROM read_parquet('__VERIFY_OUT__/x04_minhash_lsh/*.parquet')),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |r(n, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.m FROM e JOIN r ON e.b = r.n)
+        |SELECT n AS doc_id, min(m)::BIGINT AS component
+        |FROM r GROUP BY n ORDER BY n""".stripMargin,
 
     "q46_lm_cross_entropy" ->
       """WITH tok AS (

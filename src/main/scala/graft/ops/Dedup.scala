@@ -343,4 +343,48 @@ object Dedup {
     keyed.join(keepers, Seq("__h", idCol, idxCol), "left_semi")
       .drop("__h")
   }
+
+  /** Connected components over a near-dup pair graph — the TRANSITIVE
+    * form of duplicate clustering (a~b and b~c put all three in one
+    * cluster even when (a, c) itself never surfaced as a pair; the
+    * per-pair lower-id-survives rule alone is not transitive). Every
+    * node gets `component` = the minimum id reachable from it; docs
+    * in no pair keep their own id (singleton clusters). The canonical
+    * keeper per cluster is then component == id.
+    *
+    * Distributed min-label propagation: each round is ONE
+    * edge-to-label join + ONE min aggregation, lineage truncated per
+    * round (localCheckpoint — an unbounded iterative lineage would
+    * otherwise replan from scratch each round), converging in
+    * O(graph diameter) rounds — near-dup graphs are shallow stars
+    * around boilerplate hubs. The per-round driver work is one
+    * convergence count, never data rows. (The large-star/small-star
+    * contraction halves round counts on adversarially deep graphs;
+    * the plain form is the right trade at near-dup shapes.)
+    */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame,
+                          idA: String = "id_a", idB: String = "id_b",
+                          nodeCol: String = "doc_id",
+                          maxIters: Int = 50): DataFrame = {
+    val e = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .distinct().localCheckpoint()
+    var labels = nodes.select(col(nodeCol).as("n"), col(nodeCol).as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbr = e.join(labels.withColumnRenamed("n", "b"), Seq("b"))
+        .select(col("a").as("n"), col("lbl"))
+      val next = labels.unionByName(nbr)
+        .groupBy(col("n")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "__old"), Seq("n"))
+        .filter(col("lbl") =!= col("__old")).count()
+      labels = next
+      it += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
+    labels.select(col("n").as(nodeCol), col("lbl").as("component"))
+  }
 }

@@ -133,6 +133,27 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set((1L, 0), (0L, 5), (2L, 1)))
   }
 
+  test("connectedComponents: transitive clusters, bridges merge, singletons keep their id") {
+    import spark.implicits._
+    // chain 1-2-3 (no direct 1-3 pair), separate pair 7-8, then a
+    // bridge 3-7 merges the two; 99 is isolated
+    val nodes = Seq(1L, 2L, 3L, 7L, 8L, 99L).toDF("doc_id")
+    val chain = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val cc1 = Dedup.connectedComponents(chain, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 99L -> 99L))
+    val bridged = chain.unionByName(Seq((3L, 7L)).toDF("id_a", "id_b"))
+    val cc2 = Dedup.connectedComponents(bridged, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 8L -> 1L, 99L -> 99L))
+    // a long path exercises multi-round propagation (diameter 19)
+    val path = (0L until 19L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val pathNodes = (0L to 19L).toDF("doc_id")
+    val cc3 = Dedup.connectedComponents(path, pathNodes)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(cc3.toSeq == Seq(0L))
+  }
+
   test("lsh bucket cap bounds flooded buckets; audit companion enumerates the exclusions") {
     // boilerplate corpus: near-identical docs that defeat the exact-dup
     // collapse (one unique token each) and flood shared band buckets
