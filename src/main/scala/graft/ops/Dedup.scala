@@ -369,7 +369,13 @@ object Dedup {
     val e = pairs.select(col(idA).as("a"), col(idB).as("b"))
       .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
       .distinct().localCheckpoint()
-    var labels = nodes.select(col(nodeCol).as("n"), col(nodeCol).as("lbl"))
+    // label every node AND every pair endpoint: an endpoint missing
+    // from `nodes` would otherwise enter the propagation without an
+    // initial self-label and destabilize the convergence count
+    var labels = nodes.select(col(nodeCol).as("n"))
+      .unionByName(e.select(col("a").as("n")))
+      .distinct()
+      .select(col("n"), col("n").as("lbl"))
       .localCheckpoint()
     var changed = 1L
     var it = 0
