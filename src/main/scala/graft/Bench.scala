@@ -214,7 +214,7 @@ object Bench {
       * load average.
       */
     def quiet(bigCores: Int): Boolean =
-      if (cpuN < 0 || cpu4 < 0) load < 2.0
+      if (cpuN < 0 || cpu4 < 0) load < 2.0 && stealPct < 0.5
       else extCores < 0.5 && busy4(bigCores) >= 0.85 && stealPct < 0.5
   }
 

@@ -1721,6 +1721,10 @@ object SparkEntry {
         |       string_agg(chunk, chr(10) || chr(10) ORDER BY idx) AS scope_text
         |FROM c GROUP BY 1, 2 ORDER BY media_ref, column_id""".stripMargin,
 
+    // NOTE: the recursive term enumerates (node, reachable-node) pairs
+    // — quadratic per component, fine at the pinned verify corpora
+    // (components here are <= a few docs); the Spark side is the
+    // linear-per-round propagation and is what runs at scale.
     "q47_neardup_components" ->
       """WITH RECURSIVE p AS (
         |  SELECT id_a, id_b FROM read_parquet('__VERIFY_OUT__/x04_minhash_lsh/*.parquet')),

@@ -341,7 +341,12 @@ object Dedup {
       .agg(min(struct(col(idCol), col(idxCol))).as("__k"))
       .select(col("__h"), col("__k")(idCol).as(idCol), col("__k")(idxCol).as(idxCol))
     keyed.join(keepers, Seq("__h", idCol, idxCol), "left_semi")
-      .drop("__h")
+      // EXACTLY one surviving row per paragraph hash: duplicate input
+      // rows at the keeper's (doc, idx) — malformed but legal input —
+      // would all pass the semi-join; min(para) picks deterministically
+      .groupBy(col("__h"), col(idCol), col(idxCol))
+      .agg(min(col(paraCol)).as(paraCol))
+      .select(col(idCol), col(idxCol), col(paraCol))
   }
 
   /** Connected components over a near-dup pair graph — the TRANSITIVE
@@ -366,30 +371,47 @@ object Dedup {
                           idA: String = "id_a", idB: String = "id_b",
                           nodeCol: String = "doc_id",
                           maxIters: Int = 50): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    def persisted = sc.getPersistentRDDs.keySet.toSet
+    // release a superseded round's checkpointed blocks EAGERLY: each
+    // localCheckpoint pins a full label table in executor storage, and
+    // waiting for GC + the async ContextCleaner would hold O(rounds)
+    // copies at once — at corpus scale that evicts everything else
+    def release(ids: scala.collection.Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val pre0 = persisted
     val e = pairs.select(col(idA).as("a"), col(idB).as("b"))
       .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
       .distinct().localCheckpoint()
+    val eIds = persisted -- pre0
     // label every node AND every pair endpoint: an endpoint missing
     // from `nodes` would otherwise enter the propagation without an
     // initial self-label and destabilize the convergence count
+    val preL = persisted
     var labels = nodes.select(col(nodeCol).as("n"))
       .unionByName(e.select(col("a").as("n")))
       .distinct()
       .select(col("n"), col("n").as("lbl"))
       .localCheckpoint()
+    var labelIds = persisted -- preL
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
       val nbr = e.join(labels.withColumnRenamed("n", "b"), Seq("b"))
         .select(col("a").as("n"), col("lbl"))
+      val preN = persisted
       val next = labels.unionByName(nbr)
         .groupBy(col("n")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
+      val nextIds = persisted -- preN
       changed = next.join(labels.withColumnRenamed("lbl", "__old"), Seq("n"))
         .filter(col("lbl") =!= col("__old")).count()
+      release(labelIds -- nextIds -- eIds)
+      labelIds = nextIds
       labels = next
       it += 1
     }
+    release(eIds -- labelIds)
     require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
     labels.select(col("n").as(nodeCol), col("lbl").as("component"))
   }

@@ -233,50 +233,3 @@ object TextAnalysis {
       (acc, ch) => pmod(acc * 1000003L + coalesce(ascii(ch).cast("long"), lit(0L)),
         lit(2147483647L)))
 }
-
-/** CCNet's third filter leg (beside dedup and language id): language-
-  * model quality scoring. The full KenLM 5-gram is a deployment-time
-  * model artifact; the in-engine form is the unigram cross-entropy of
-  * each document under a Laplace-smoothed LM trained on a reference
-  * slice — the identical dataflow shape (token -> model prob join ->
-  * per-doc mean surprisal) with a model that is itself a corpus
-  * aggregate, so the whole operator is SQL-checkable.
-  *
-  * p(w) = (count_ref(w) + 1) / (total_ref + V); out-of-vocabulary
-  * tokens get the unseen mass 1 / (total_ref + V). Score = mean of
-  * -ln p(w) over the doc's tokens (nats; higher = less reference-
-  * like), rounded to 4 — the round absorbs the sub-ulp libm
-  * differences between engines.
-  *
-  * Scale shape: the model is ONE hash aggregation over the reference
-  * slice; scoring is a token->word join (broadcast when the vocab is
-  * broadcast-sized, one hash shuffle otherwise) + a doc-keyed mean —
-  * never a second corpus pass, no window.
-  */
-object LmScore {
-  import org.apache.spark.sql.DataFrame
-
-  def unigramCrossEntropy(docs: DataFrame, ref: DataFrame,
-                          idCol: String = "doc_id",
-                          textCol: String = "text"): DataFrame = {
-    def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
-    val refCounts = ref
-      .select(explode(toks(col(textCol))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("c"))
-    val consts = refCounts.agg(
-      sum(col("c")).as("total"), count(lit(1)).as("v")).head()
-    // empty reference: every token is OOV with mass 1/1 (score 0) —
-    // degenerate but defined, rather than a division by zero
-    val denom = math.max(1.0,
-      (if (consts.isNullAt(0)) 0L else consts.getLong(0)) +
-        consts.getLong(1).toDouble)
-    val tok = docs.select(col(idCol), explode(toks(col(textCol))).as("word"))
-    tok
-      .join(refCounts, Seq("word"), "left")
-      .withColumn("__nll",
-        -log((coalesce(col("c"), lit(0L)) + lit(1L)) / lit(denom)))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(col("__nll")), 4).as("cross_entropy"))
-  }
-}
