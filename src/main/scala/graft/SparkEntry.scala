@@ -486,6 +486,145 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q48_substring_dedup" -> ((s, dir) =>
+      // corpus-wide exact-substring dedup (Lee et al. windowed form):
+      // every duplicated 8-token window is removed from all but its
+      // global first occurrence; kept_text re-joins the survivors
+      graft.ops.ExactSubstr.dedupSubstrings(
+          s.read.parquet(p(dir, "documents")), k = 8)
+        .orderBy(col("doc_id"))),
+
+    "q49_bloom_semi_join" -> ((s, dir) => {
+      // bloom-prefiltered exact semi-join (lineitem against high-value
+      // orders): the bloom only cuts shuffle volume — the result must
+      // equal the plain IN-subquery, which IS the oracle
+      val li = s.read.parquet(p(dir, "lineitem"))
+      val hi = s.read.parquet(p(dir, "orders"))
+        .filter(col("o_totalprice") > 150000.0)
+      graft.ops.Joins.bloomSemiJoin(li, hi, "l_orderkey", "o_orderkey",
+          expectedKeys = 100000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q50_url_canonicalize" -> ((s, dir) => {
+      // URL canonicalization + host/registered-domain extraction over
+      // raw URLs synthesized deterministically from the documents
+      // table (same derivation in the oracle): mixed-case scheme/host,
+      // www., default port, tracking params, fragment — all of which
+      // the canonical form must strip while preserving path/query case
+      val docs = s.read.parquet(p(dir, "documents"))
+      val raw = concat(
+        lit("HTTPS://"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit(".Example."),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("co.uk")).otherwise(lit("com")),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(":443")).otherwise(lit("")),
+        lit("/Pg/"), col("doc_id"),
+        lit("?id="), col("doc_id"),
+        lit("&utm_source=feed&utm_campaign=x"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("&gclid=abc")).otherwise(lit("")),
+        lit("&lang="), col("lang"), lit("#frag"))
+      val canon = graft.ops.Web.canonicalizeUrl(raw)
+      val host = graft.ops.Web.hostOf(canon)
+      docs.select(col("doc_id"), canon.as("canon_url"), host.as("host"),
+          graft.ops.Web.registeredDomainOf(host).as("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q51_det_shuffle" -> ((s, dir) =>
+      // deterministic global training-order shuffle + round-robin
+      // sharding via the parallel-prefix rank; the oracle is the naive
+      // global row_number window the prefix form must equal exactly
+      graft.ops.Shuffling.deterministicShuffle(
+          s.read.parquet(p(dir, "documents")), shards = 8)
+        .orderBy(col("doc_id"))),
+
+    "q52_line_dedup" -> ((s, dir) => {
+      // intra-doc repeated-line removal over the 10-token "lines",
+      // with planted repeats: doc_id%4==0 docs get their first line
+      // appended again — every plant must drop, nothing else changes
+      val lines = chunks10(s.read.parquet(p(dir, "documents")))
+        .withColumnRenamed("chunk", "line")
+      val maxIdx = lines.groupBy(col("doc_id")).agg(max(col("idx")).as("__mx"))
+      val planted = lines
+        .filter(col("idx") === 0 && pmod(col("doc_id"), lit(4)) === 0)
+        .join(maxIdx, Seq("doc_id"))
+        .select(col("doc_id"), (col("__mx") + 1).as("idx"), col("line"))
+      graft.ops.Dedup.dedupLinesWithin(lines.unionByName(planted))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
+    "q53_clean_text" -> ((s, dir) => {
+      // canonical text cleanup (NFC + control strip + whitespace
+      // discipline) over deterministically dirtied text: decomposed
+      // accents, BEL, CRLF + blank-line runs, ragged spaces. The
+      // oracle runs the identical RE2 chain on DuckDB's nfc_normalize
+      // (JDK/utf8proc NFC parity verified on reorder + exclusion cases).
+      val docs = s.read.parquet(p(dir, "documents"))
+      val messy = concat(
+        // decomposed accent + BEL via explicit escapes: byte-identical
+        // to the oracle's 'Cafe' || chr(769) || '  ' || chr(7) derivation
+        // (n_before counts RAW code points; the dirt must match exactly)
+        lit("Cafe\u0301  \u0007"),
+        col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(" A\u030A")).otherwise(lit("")),
+        lit("\r\n\n\n end "))
+      docs.select(col("doc_id"),
+          length(messy).as("n_before"),
+          graft.ops.TextAnalysis.cleanText(messy).as("cleaned"))
+        .withColumn("n_after", length(col("cleaned")))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q54_bigram_lm" -> ((s, dir) => {
+      // bigram refinement of q46: Laplace-smoothed conditional
+      // cross-entropy p(w2|w1) under a model trained on the
+      // doc_id % 3 == 0 reference slice; bigrams form map-side
+      // (zip_with against the token tail), docs with < 2 tokens drop
+      val docs = s.read.parquet(p(dir, "documents"))
+      graft.ops.LmScore.bigramCrossEntropy(docs,
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q55_domain_cap" -> ((s, dir) => {
+      // RefinedWeb's host-level quota: canonical registered domain
+      // from raw crawl URLs (the q50 chain: lowercase, www-strip,
+      // PSL-lite), then an exact per-domain cap of 5 via the
+      // two-phase skew-safe deterministic sample
+      val docs = s.read.parquet(p(dir, "documents"))
+      val raw = concat(lit("https://WWW."), col("source"),
+        pmod(col("doc_id"), lit(3)), lit(".COM/p/"), col("doc_id"))
+      val host = graft.ops.Web.hostOf(graft.ops.Web.canonicalizeUrl(raw))
+      val keyed = docs.select(col("doc_id"),
+        graft.ops.Web.registeredDomainOf(host).as("domain"))
+      graft.ops.Sampling.stratifiedSample(keyed, "domain", k = 5)
+        .orderBy(col("domain"), col("rn"))
+    }),
+
+    "q56_mixture_sample" -> ((s, dir) => {
+      // DoReMi-style mixture reweighting: per-language keep rate
+      // (ascii(lang)%5+1)/10 of the docs — EXACTLY ceil(rate*n) by
+      // deterministic rank, via the contiguous-range rank form (no
+      // per-stratum window, whale-stratum safe)
+      val docs = s.read.parquet(p(dir, "documents"))
+      graft.ops.Sampling.proportionalSample(docs, "lang",
+          (pmod(ascii(col("lang")), lit(5)) + 1).cast("double") / 10.0)
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    "q57_quality_deciles" -> ((s, dir) =>
+      // exact decile banding by (n_chars, doc_id) global rank — the
+      // scalable ntile: range-partition prefix rank + integer DIV,
+      // band sizes differ by at most one
+      graft.ops.Sampling.rankBands(
+          s.read.parquet(p(dir, "documents")).select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars"), col("doc_id")), bands = 10)
+        .select(col("doc_id"), col("n_chars"), col("pos"), col("band"))
+        .orderBy(col("doc_id"))),
+
     "q39_sessionize_skew" -> ((s, dir) =>
       // the skew-proof two-phase sessionize MUST equal the plain form
       // — same DuckDB oracle as q35. bucketUs = 1 hour (only 2x the
@@ -1792,6 +1931,218 @@ object SparkEntry {
         |  FROM keyed)
         |SELECT doc_id, idx, para FROM rk WHERE rn = 1
         |ORDER BY doc_id, idx""".stripMargin,
+
+    // The windowed exact-substring rule is a pure function of
+    // (gram -> occurrence order); the oracle keeps gram TEXT as the
+    // group key (Spark groups the 16-byte md5 — same grouping, no
+    // text shuffle) and mirrors the fixed-k as-of coverage window.
+    "q48_substring_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, u.i AS pos, toks[u.i+1] AS tok
+        |  FROM tk, LATERAL unnest(generate_series(0, len(toks)-1)) u(i)
+        |  WHERE len(toks) > 0),
+        |g AS (
+        |  SELECT doc_id, u.i AS pos, array_to_string(toks[u.i+1 : u.i+8], ' ') AS gram
+        |  FROM tk, LATERAL unnest(generate_series(0, len(toks)-8)) u(i)
+        |  WHERE len(toks) >= 8),
+        |rk AS (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+        |         count(*) OVER (PARTITION BY gram) AS n
+        |  FROM g),
+        |dup AS (SELECT doc_id, pos FROM rk WHERE n > 1 AND rn > 1),
+        |ev AS (
+        |  SELECT doc_id, pos, 1 AS side, tok FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, pos, 0 AS side, NULL AS tok FROM dup),
+        |cov AS (
+        |  SELECT doc_id, pos, side, tok,
+        |    max(CASE WHEN side = 0 THEN pos END) OVER (
+        |      PARTITION BY doc_id ORDER BY pos, side
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_dup
+        |  FROM ev),
+        |m AS (
+        |  SELECT doc_id, pos, tok,
+        |    (last_dup IS NOT NULL AND pos - last_dup < 8) AS covered
+        |  FROM cov WHERE side = 1),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         sum(CASE WHEN covered THEN 1 ELSE 0 END) AS n_removed,
+        |         coalesce(string_agg(CASE WHEN NOT covered THEN tok END, ' ' ORDER BY pos), '')
+        |           AS kept_text
+        |  FROM m GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+        |       coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+        |       coalesce(a.kept_text, '') AS kept_text
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q49_bloom_semi_join" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS cnt,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q50_url_canonicalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+        |    source || '.Example.' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN 'co.uk' ELSE 'com' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+        |    '/Pg/' || doc_id::VARCHAR ||
+        |    '?id=' || doc_id::VARCHAR ||
+        |    '&utm_source=feed&utm_campaign=x' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '&gclid=abc' ELSE '' END ||
+        |    '&lang=' || lang || '#frag' AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u),
+        |s2 AS (SELECT doc_id,
+        |         lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) ||
+        |         regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS u
+        |       FROM s1),
+        |s3 AS (SELECT doc_id,
+        |         regexp_replace(regexp_replace(u,
+        |           '^(https://[^/:?#]*):443([/?#].*)?$', '\1\2'),
+        |           '^(http://[^/:?#]*):80([/?#].*)?$', '\1\2') AS u
+        |       FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(u, '^(https?://)www\.', '\1') AS u FROM s3),
+        |s5 AS (SELECT doc_id,
+        |         regexp_replace(u,
+        |           '([?&])((?:utm_[a-zA-Z0-9_]+|gclid|fbclid|msclkid|ref)=[^&#]*&?)+',
+        |           '\1', 'g') AS u
+        |       FROM s4),
+        |s6 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '') AS canon_url FROM s5),
+        |h AS (SELECT doc_id, canon_url,
+        |        regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+        |      FROM s6)
+        |SELECT doc_id, canon_url, host,
+        |  coalesce(
+        |    nullif(regexp_extract(host, '([^.]+\.(?:co|com|org|net|ac|gov)\.[a-z][a-z])$', 1), ''),
+        |    nullif(regexp_extract(host, '([^.]+\.[^.]+)$', 1), ''),
+        |    host) AS domain
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q51_det_shuffle" ->
+      """SELECT doc_id, pos, (pos % 8)::INT AS shard FROM (
+        |  SELECT doc_id,
+        |    (row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1)::BIGINT AS pos
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q52_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\W+'), x -> x <> '') AS toks
+        |  FROM documents
+        |  WHERE len(list_filter(string_split_regex(text, '\W+'), x -> x <> '')) > 0),
+        |c AS (
+        |  SELECT doc_id, u.i AS idx,
+        |         array_to_string(toks[u.i*10+1 : u.i*10+10], ' ') AS line
+        |  FROM t, LATERAL unnest(generate_series(0, (len(toks)-1)//10)) u(i)),
+        |mx AS (SELECT doc_id, max(idx) AS m FROM c GROUP BY 1),
+        |pl AS (
+        |  SELECT c.doc_id, (mx.m + 1) AS idx, c.line
+        |  FROM c JOIN mx USING (doc_id) WHERE c.idx = 0 AND c.doc_id % 4 = 0),
+        |allr AS (SELECT * FROM c UNION ALL SELECT * FROM pl),
+        |rk AS (
+        |  SELECT doc_id, idx, line,
+        |    row_number() OVER (
+        |      PARTITION BY doc_id, md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g')))
+        |      ORDER BY idx) AS rn
+        |  FROM allr)
+        |SELECT doc_id, idx, line FROM rk WHERE rn = 1
+        |ORDER BY doc_id, idx""".stripMargin,
+
+    "q53_clean_text" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    'Cafe' || chr(769) || '  ' || chr(7) || text ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' A' || chr(778) ELSE '' END ||
+        |    chr(13) || chr(10) || chr(10) || chr(10) || ' end ' AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, length(t) AS n_before,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      nfc_normalize(t),
+        |      '\r\n?', chr(10), 'g'),
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+        |      '[^\S\n]+', ' ', 'g'),
+        |      ' ?\n ?', chr(10), 'g'),
+        |      '\n{3,}', chr(10) || chr(10), 'g'),
+        |      '^\s+|\s+$', '', 'g') AS cleaned
+        |  FROM m)
+        |SELECT doc_id, n_before::BIGINT AS n_before, cleaned,
+        |       length(cleaned)::BIGINT AS n_after
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Bigram Laplace: p(w2|w1) = (c2+1)/(ctx(w1)+V), ctx = the
+    // context's total bigram count (a model re-agg), V = distinct
+    // reference words; the round(4) absorbs libm ulps as in q46.
+    "q54_bigram_lm" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks[u.i+1] AS w1, toks[u.i+2] AS w2
+        |  FROM tk, LATERAL unnest(generate_series(0, len(toks)-2)) u(i)
+        |  WHERE len(toks) >= 2),
+        |c2 AS (
+        |  SELECT w1, w2, count(*) AS c FROM bg WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c) AS cc FROM c2 GROUP BY 1),
+        |v AS (
+        |  SELECT greatest(count(DISTINCT u.w), 1) AS vv
+        |  FROM tk, LATERAL unnest(toks) u(w) WHERE doc_id % 3 = 0)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  round(avg(-ln((coalesce(p.c, 0) + 1)::DOUBLE /
+        |                (coalesce(x.cc, 0) + v.vv)::DOUBLE)), 4) AS cross_entropy
+        |FROM bg b
+        |LEFT JOIN c2 p ON b.w1 = p.w1 AND b.w2 = p.w2
+        |LEFT JOIN c1 x ON b.w1 = x.w1, v
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    "q55_domain_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id, source || (doc_id % 3)::VARCHAR || '.com' AS domain
+        |  FROM documents),
+        |rk AS (
+        |  SELECT domain, doc_id,
+        |    row_number() OVER (PARTITION BY domain
+        |                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM d)
+        |SELECT domain, doc_id, rn FROM rk WHERE rn <= 5
+        |ORDER BY domain, rn""".stripMargin,
+
+    "q56_mixture_sample" ->
+      """WITH q AS (
+        |  -- DOUBLE arithmetic in Spark's exact order (rate first,
+        |  -- then * n): a DECIMAL ceil could differ by 1 when rate*n
+        |  -- grazes an integer
+        |  SELECT lang,
+        |    ceil(((ascii(lang) % 5 + 1)::DOUBLE / 10.0) * count(*)) AS quota
+        |  FROM documents GROUP BY 1),
+        |rk AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents)
+        |SELECT rk.lang, doc_id, rn FROM rk JOIN q USING (lang)
+        |WHERE rn <= q.quota ORDER BY lang, rn""".stripMargin,
+
+    "q57_quality_deciles" ->
+      """WITH rk AS (
+        |  SELECT doc_id, n_chars,
+        |    (row_number() OVER (ORDER BY n_chars, doc_id) - 1)::BIGINT AS pos,
+        |    count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id, n_chars, pos, (pos * 10 // n + 1)::INT AS band
+        |FROM rk ORDER BY doc_id""".stripMargin,
 
     // The composition oracle: q34/x25's verdict CTEs -> q42's sample
     // window -> q41's running-sum packing, in one SQL program.

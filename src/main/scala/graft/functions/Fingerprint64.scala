@@ -102,6 +102,10 @@ object GraftFunctions {
     org.apache.spark.sql.GraftBridge.toColumn(
       TokenizeWords(org.apache.spark.sql.GraftBridge.toExpression(c)))
 
+  def nfcNormalize(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      NfcNormalize(org.apache.spark.sql.GraftBridge.toExpression(c)))
+
   def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
     org.apache.spark.sql.GraftBridge.toColumn(
       PqEncode(org.apache.spark.sql.GraftBridge.toExpression(v), codebooks))
@@ -171,5 +175,7 @@ object GraftFunctions {
       "graft_sig_agreement", exprs => SigAgreement(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tokenize", exprs => TokenizeWords(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs.head), "scala_udf")
   }
 }

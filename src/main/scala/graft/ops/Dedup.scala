@@ -349,6 +349,28 @@ object Dedup {
       .select(col(idCol), col(idxCol), col(paraCol))
   }
 
+  /** Intra-document repeated-line removal (the RefinedWeb line-level
+    * rule): within EACH document, every line whose normalized text
+    * already appeared earlier in the same document is dropped —
+    * navigation chrome, repeated headers, boilerplate footers. The
+    * cross-corpus twin is [[paragraphDedup]] (keeper per GLOBAL hash);
+    * here the keeper is per (doc, hash), so the operator is doc-local:
+    * the row_number window partitions on (id, fingerprint) — bounded
+    * by a single document's repetition count, no corpus-wide key, no
+    * whale group possible. Input is the exploded line table
+    * (id, idx, line); output is the surviving (id, idx, line) rows.
+    */
+  def dedupLinesWithin(lines: DataFrame, idCol: String = "doc_id",
+                       idxCol: String = "idx", lineCol: String = "line"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), fingerprint(col(lineCol)))
+      .orderBy(col(idxCol))
+    lines
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(idxCol), col(lineCol))
+  }
+
   /** Connected components over a near-dup pair graph — the TRANSITIVE
     * form of duplicate clustering (a~b and b~c put all three in one
     * cluster even when (a, c) itself never surfaced as a pair; the

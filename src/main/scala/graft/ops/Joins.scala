@@ -179,4 +179,47 @@ object Joins {
       .filter(col(pointUs) >= col(startUs) && col(pointUs) < col(endUs))
       .drop("__bucket")
   }
+
+  /** Bloom-filter-accelerated semi-join on an integral key — the
+    * middle regime between broadcast-hash (dim side fits in executor
+    * memory as a HASH RELATION) and plain shuffle semi-join (it
+    * doesn't fit anywhere): a 10^9-key dim side at 1% fpp is ~1.2 GB
+    * of bloom BITS — broadcastable — so the fact side is pre-filtered
+    * MAP-SIDE and only the ~selectivity + fpp fraction ever reaches
+    * the shuffle. The exact shuffle semi-join on the survivors then
+    * removes the false positives, so the RESULT is exactly the plain
+    * semi-join (bloom superset property); the bloom only cuts shuffle
+    * volume, never changes semantics — which is what makes this
+    * operator DuckDB-oracleable against `WHERE key IN (SELECT ...)`.
+    *
+    * This is Spark's own runtime row-level bloom injection
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) made
+    * explicit, sized by the caller, and independent of optimizer
+    * heuristics. The probe is a driver-built
+    * `org.apache.spark.util.sketch.BloomFilter` broadcast to
+    * executors; the per-row probe is a few xxhash rounds — off the
+    * codegen path but far cheaper than the shuffle bytes it saves.
+    * Construction is one treeAggregate over the dim side (merging
+    * ~GB bitmaps up the tree — a one-off, amortized over the join).
+    *
+    * `expectedKeys` sizes the filter: undersizing inflates fpp (more
+    * survivors shuffle — still correct); at 10^12-scale pass the dim
+    * side's known cardinality or a KMV estimate
+    * ([[graft.ops.Sketches]]).
+    */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
+                    factKey: String, dimKey: String,
+                    expectedKeys: Long = 1000000L,
+                    fpp: Double = 0.01): DataFrame = {
+    val keyType = fact.schema(factKey).dataType
+    require(Seq("long", "int", "short", "byte").contains(keyType.typeName),
+      s"bloomSemiJoin requires an integral key; $factKey is ${keyType.typeName}")
+    val bf = dim.stat.bloomFilter(col(dimKey).cast("long"), expectedKeys, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((v: java.lang.Long) => v != null && bc.value.mightContainLong(v))
+    fact
+      .filter(col(factKey).isNotNull && might(col(factKey).cast("long")))
+      .join(dim.select(col(dimKey).cast("long").as("__dk")).distinct(),
+        col(factKey).cast("long") === col("__dk"), "left_semi")
+  }
 }

@@ -50,4 +50,61 @@ object LmScore {
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(col("__nll")), 4).as("cross_entropy"))
   }
+
+  /** The bigram refinement of [[unigramCrossEntropy]] — one order up
+    * the KenLM ladder, still fully SQL-checkable. Conditional
+    * probability with Laplace smoothing over the reference unigram
+    * vocabulary V:
+    *
+    *   p(w2 | w1) = (c_ref(w1 w2) + 1) / (ctx_ref(w1) + V)
+    *
+    * where ctx_ref(w1) = sum of reference bigram counts with context
+    * w1 (w1's count as a CONTEXT — a model-internal re-aggregation,
+    * not a second corpus pass) and V = distinct reference words. An
+    * unseen context scores 1/V-ish mass, exactly the Laplace rule.
+    * Score = mean -ln p over the doc's adjacent-pair bigrams,
+    * rounded to 4 (absorbs libm ulps); docs with < 2 tokens have no
+    * bigrams and drop, mirroring the unigram operator's empty-doc
+    * rule.
+    *
+    * Scale shape: bigrams are formed MAP-SIDE (`zip_with` of the
+    * token array against its own tail — no posexplode self-join, no
+    * window); the model is one hash agg over the reference slice
+    * plus two O(model)-sized derived aggs (context sums, vocab
+    * count); scoring is a (w1,w2)->count join + a context join + a
+    * doc-keyed mean. At 10^12 docs the model joins are the only
+    * shuffles and both broadcast when the vocab is bounded.
+    */
+  def bigramCrossEntropy(docs: DataFrame, ref: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+    def bigrams(c: Column) = {
+      val t = toks(c)
+      zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+    }
+    val refToks = ref.select(explode(toks(col(textCol))).as("word"))
+    val vocab = refToks.agg(
+      greatest(count_distinct(col("word")), lit(1L)).as("__v"))
+    val refBg = ref
+      .select(explode(bigrams(col(textCol))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val ctx = refBg.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val docBg = docs.select(col(idCol), explode(bigrams(col(textCol))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    docBg
+      .join(refBg, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__nll",
+        -log((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("__v")).cast("double")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__nll")), 4).as("cross_entropy"))
+  }
 }

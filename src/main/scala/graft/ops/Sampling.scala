@@ -52,4 +52,59 @@ object Sampling {
       .filter(col("rn") <= k)
       .select(col(stratumCol), col(idCol), col("rn"))
   }
+
+  /** Per-stratum PROPORTIONAL sampling — the mixture-weighting step
+    * of a training-data recipe (DoReMi-style source reweighting):
+    * stratum s keeps exactly `ceil(rate(s) * n_s)` documents, chosen
+    * by the same deterministic rank as [[stratifiedSample]].
+    * `rateCol` MUST be a pure function of the stratum column (it is
+    * aggregated per stratum with `max`), valued in [0, 1].
+    *
+    * Scale shape: a per-stratum `row_number` window serializes a
+    * whale stratum, and unlike the fixed-k sample the quota here can
+    * be O(n_s), so the salted top-k escape does not apply. Instead
+    * the per-stratum rank comes from [[Shuffling.globalRank]] over
+    * (stratum, rank, id): each stratum is a CONTIGUOUS run of global
+    * positions, so rank-in-stratum = pos - min(pos over s) — range
+    * partitions bound every task regardless of stratum skew. The
+    * per-stratum (min-pos, quota) table is one small agg, broadcast
+    * back (strata = languages/sources/quality bands — bounded by
+    * construction; the join-back would shuffle a whale stratum to
+    * one reducer if hash-joined, hence the explicit broadcast).
+    */
+  def proportionalSample(docs: DataFrame, stratumCol: String, rateCol: Column,
+                         idCol: String = "doc_id", parts: Int = 0): DataFrame = {
+    val base = docs.select(col(stratumCol), col(idCol),
+      detRank(col(idCol)).as("__r"), rateCol.cast("double").as("__rate"))
+    val ranked = graft.ops.Shuffling.globalRank(
+      base, Seq(col(stratumCol), col("__r"), col(idCol)), parts)
+    val quotas = ranked.groupBy(col(stratumCol)).agg(
+      min(col("pos")).as("__p0"),
+      ceil(max(col("__rate")) * count(lit(1))).cast("long").as("__q"))
+    ranked.join(broadcast(quotas), Seq(stratumCol))
+      .withColumn("rn", (col("pos") - col("__p0") + 1).cast("int"))
+      .filter(col("rn") <= col("__q"))
+      .select(col(stratumCol), col(idCol), col("rn"))
+  }
+
+  /** Exact rank-based banding (deciles and friends) — the quality-
+    * band assignment step: band `1..bands` by the global rank under
+    * `orderCols` (a TOTAL order — append the id as the last key),
+    * band = 1 + rank*bands DIV n, so band sizes differ by at most
+    * one. A plain `ntile` is the same idea but serializes the corpus
+    * through one window task; this is [[Shuffling.globalRank]] (range
+    * partitions, prefix offsets) + one broadcast scalar, exact at any
+    * scale. Integer DIV throughout — no float drift at 10^12 rows.
+    * Output: input columns + `pos` + `band`.
+    */
+  def rankBands(df: DataFrame, orderCols: Seq[Column], bands: Int,
+                parts: Int = 0): DataFrame = {
+    require(bands > 0, "bands must be positive")
+    val ranked = graft.ops.Shuffling.globalRank(df, orderCols, parts)
+    val total = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("band",
+        (expr(s"pos * ${bands.toLong} DIV __n") + 1L).cast("int"))
+      .drop("__n")
+  }
 }

@@ -221,6 +221,32 @@ object TextAnalysis {
         urlRe, "<URL>"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>").as("scrubbed"))
   }
 
+  /** Canonical text cleanup — the ftfy-ish "fix the bytes" stage every
+    * corpus pipeline runs before fingerprinting or quality gates:
+    *
+    *   1. Unicode NFC (native [[graft.functions.NfcNormalize]] kernel
+    *      with an already-normalized fast path — canonically-equal
+    *      byte variants must collapse before any dedup key);
+    *   2. CR/CRLF -> LF;
+    *   3. strip C0/DEL control chars (tab and newline survive);
+    *   4. collapse horizontal whitespace runs to one space;
+    *   5. drop spaces hugging newlines;
+    *   6. collapse 3+ blank-line runs to one blank line;
+    *   7. trim.
+    *
+    * All steps are codegen'd regexp_replace chains (RE2-compatible —
+    * the same chain is the DuckDB oracle) over one projection:
+    * map-side at scan speed, zero shuffle, no UDF.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      graft.functions.GraftFunctions.nfcNormalize(text),
+      "\r\n?", "\n"),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[^\\S\\n]+", " "),
+      " ?\n ?", "\n"),
+      "\n{3,}", "\n\n"))
+
   /** Rolling polynomial fingerprint (Rabin-Karp family) of the
     * normalized text — cheap locality-free doc identity; md5 variant in
     * [[Dedup.fingerprint]] for the SQL-oracle-friendly form.

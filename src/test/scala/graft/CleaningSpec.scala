@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CleaningSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-cleaning")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def clean(ss: String*): Seq[String] = {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    ss.toDF("t").select(TextAnalysis.cleanText(col("t"))).collect()
+      .map(_.getString(0)).toSeq
+  }
+
+  test("NFC composes decomposed sequences; canonical reordering applied") {
+    assert(clean("Cafe\u0301") == Seq("Caf\u00e9"))
+    assert(clean("A\u030A") == Seq("\u00c5"))
+    // ccc reordering: dot-below (ccc 220) sorts before dot-above (ccc 230)
+    assert(clean("q\u0307\u0323") == Seq("q\u0323\u0307"))
+    // already-NFC text unchanged (the fast path)
+    assert(clean("plain ascii") == Seq("plain ascii"))
+  }
+
+  test("control chars stripped, CRLF -> LF, whitespace discipline") {
+    assert(clean("ab\u0007c\u0000") == Seq("abc"))
+    assert(clean("line1\r\nline2\rline3") == Seq("line1\nline2\nline3"))
+    assert(clean("a \t  b") == Seq("a b"))
+    assert(clean("  lead  \n  mid \n\n\n\n trail  ") == Seq("lead\nmid\n\ntrail"))
+    // tab inside a run collapses WITH the run; lone newline survives
+    assert(clean("a\tb\nc") == Seq("a b\nc"))
+  }
+
+  test("null-safe and empty-safe") {
+    import spark.implicits._
+    val got = Seq[Option[String]](None, Some(""), Some("   ")).toDF("t")
+      .select(TextAnalysis.cleanText(col("t"))).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == Seq(null, "", ""))
+  }
+}

@@ -417,4 +417,19 @@ class DedupSpec extends AnyFunSuite {
     assert(res.zip(res2).forall { case (a, b) =>
       a.zip(b).forall { case (x, y) => x.sameElements(y) } })
   }
+  test("dedupLinesWithin keeps first occurrence per doc; cross-doc repeats untouched") {
+    import spark.implicits._
+    val lines = Seq(
+      (1L, 0, "Nav  Bar"), (1L, 1, "real content"), (1L, 2, "nav bar"), (1L, 3, "more text"),
+      (2L, 0, "nav bar"), // same line in another doc: kept (intra-doc rule only)
+      (2L, 1, "footer"), (2L, 2, "footer"), (2L, 3, "footer")
+    ).toDF("doc_id", "idx", "line")
+    val got = Dedup.dedupLinesWithin(lines)
+      .orderBy(col("doc_id"), col("idx"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    // (1,2) drops (normalized == (1,0)); (2,2)/(2,3) drop; (2,0) survives
+    assert(got == Seq(
+      (1L, 0, "Nav  Bar"), (1L, 1, "real content"), (1L, 3, "more text"),
+      (2L, 0, "nav bar"), (2L, 1, "footer")))
+  }
 }

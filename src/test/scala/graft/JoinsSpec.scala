@@ -128,4 +128,25 @@ class JoinsSpec extends AnyFunSuite {
       Seq("rid"), bucketUs = bucketUs).queryExecution.analyzed.toString
     assert(plan.contains("__b"), "skew form must window per (key, bucket)")
   }
+  test("bloomSemiJoin == plain left_semi; exact under undersized bloom; null keys dropped") {
+    import spark.implicits._
+    // fact keys 0..1999 (incl. nulls), dim keys the multiples of 7 under 1000
+    val fact = ((0L until 2000L).map(i => (if (i % 97 == 0) None else Some(i), s"v$i")))
+      .toDF("k", "payload")
+    val dim = (0L until 1000L by 7L).toDF("dk")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("k")).collect().map(_.toSeq).toSeq
+    val plain = canon(fact.join(dim, col("k") === col("dk"), "left_semi"))
+    // generously and pathologically sized blooms must both be EXACT:
+    // the trailing semi-join removes every false positive
+    for (expected <- Seq(100000L, 8L)) {
+      val got = canon(Joins.bloomSemiJoin(fact, dim, "k", "dk", expectedKeys = expected))
+      assert(got == plain, s"expectedKeys=$expected diverged from plain semi-join")
+    }
+    // non-integral key rejected loudly
+    val bad = intercept[IllegalArgumentException] {
+      Joins.bloomSemiJoin(fact.withColumn("k", col("k").cast("string")), dim, "k", "dk")
+    }
+    assert(bad.getMessage.contains("integral"))
+  }
 }

@@ -41,4 +41,31 @@ class LmScoreSpec extends AnyFunSuite {
       .collect().map(r => r.getDouble(2))
     assert(e.forall(_ == 0.0))
   }
+
+  test("bigram cross-entropy matches the hand-computed conditional Laplace model; short docs drop") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    // reference "a b a b c": bigrams ab, ba, ab, bc
+    //   c2: (a,b)=2 (b,a)=1 (b,c)=1; ctx: a=2, b=2; V=3 (a,b,c)
+    val ref = Seq((100L, "a b a b c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),   // p(b|a) = (2+1)/(2+3) = 3/5
+      (2L, "b c"),   // p(c|b) = (1+1)/(2+3) = 2/5
+      (3L, "c a"),   // unseen bigram, seen ctx? ctx(c)=0 -> (0+1)/(0+3) = 1/3
+      (4L, "zz qq"), // OOV everything: (0+1)/(0+3) = 1/3
+      (5L, "a"),     // single token: no bigrams -> row drops
+      (6L, "")       // empty: drops
+    ).toDF("doc_id", "text")
+    val out = LmScore.bigramCrossEntropy(docs, ref)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r4(x: Double) = math.round(x * 10000) / 10000.0
+    assert(out(1L) == (1L, r4(-math.log(3.0 / 5))))
+    assert(out(2L) == (1L, r4(-math.log(2.0 / 5))))
+    assert(out(3L) == (1L, r4(-math.log(1.0 / 3))))
+    assert(out(4L) == (1L, r4(-math.log(1.0 / 3))))
+    assert(!out.contains(5L) && !out.contains(6L))
+    // seen bigram scores better (lower) than unseen — the ordering
+    // the quality filter exists for
+    assert(out(1L)._2 < out(3L)._2)
+  }
 }

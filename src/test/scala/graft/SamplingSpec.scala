@@ -42,4 +42,63 @@ class SamplingSpec extends AnyFunSuite {
       .orderBy(col("lang"), col("rn")).collect().map(_.toSeq).toSeq
     assert(again == naive)
   }
+
+  test("proportionalSample == the naive window with ceil(rate*n) quotas; rate 0 and 1 edges; parts invariant") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    // whale stratum with a HIGH rate (the case the salted top-k can't
+    // bound), plus small strata at rate edges
+    val rows = (0 until 4000).map(i => (i.toLong, "whale")) ++
+      (4000 until 4031).map(i => (i.toLong, "mid")) ++      // 31 docs
+      (4031 until 4036).map(i => (i.toLong, "none")) ++     // rate 0
+      (4036 until 4043).map(i => (i.toLong, "all"))         // rate 1
+    val df = rows.toDF("doc_id", "lang")
+    val rate = when(col("lang") === "whale", 0.9)
+      .when(col("lang") === "mid", 0.25)
+      .when(col("lang") === "none", 0.0)
+      .otherwise(1.0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(Sampling.detRank(col("doc_id")), col("doc_id"))
+    val n = Window.partitionBy(col("lang"))
+    val naive = df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("__q", ceil(rate * count(lit(1)).over(n)))
+      .filter(col("rn") <= col("__q"))
+      .select(col("lang"), col("doc_id"), col("rn"))
+      .orderBy(col("lang"), col("rn")).collect().map(_.toSeq).toSeq
+    for (parts <- Seq(0, 1, 7)) {
+      val got = Sampling.proportionalSample(df, "lang", rate, parts = parts)
+        .orderBy(col("lang"), col("rn")).collect().map(_.toSeq).toSeq
+      assert(got == naive, s"parts=$parts diverged from the naive window")
+    }
+    val counts = naive.groupBy(_.head).view.mapValues(_.size).toMap
+    assert(counts == Map("whale" -> 3600, "mid" -> 8, "all" -> 7))
+    assert(!counts.contains("none"))
+  }
+
+  test("rankBands: ntile-exact sizes (differ by <= 1), monotone in the order key, parts invariant") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    // 503 rows: 10 bands of 50/51 — and a tie-heavy key to force the
+    // id tiebreak to matter
+    val df = (0 until 503).map(i => (i.toLong, (i % 13).toLong)).toDF("doc_id", "score")
+    val out = Sampling.rankBands(df, Seq(col("score"), col("doc_id")), bands = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.length == 503)
+    val sizes = out.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(sizes.keySet == (1 to 10).toSet)
+    assert(sizes.values.forall(s => s == 50 || s == 51))
+    assert(sizes.values.sum == 503)
+    // band is monotone in pos, and pos follows (score, doc_id) order
+    val byPos = out.sortBy(_._3)
+    assert(byPos.map(r => (r._2, r._1)).toSeq == byPos.map(r => (r._2, r._1)).sortBy(identity).toSeq)
+    assert(byPos.map(_._4).toSeq == byPos.map(_._4).sorted.toSeq)
+    // parts invariance
+    val p1 = Sampling.rankBands(df, Seq(col("score"), col("doc_id")), 10, parts = 1)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val p7 = Sampling.rankBands(df, Seq(col("score"), col("doc_id")), 10, parts = 7)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(p1 == p7)
+  }
 }
