@@ -615,6 +615,42 @@ object SparkEntry {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    "q61_winnow_fingerprints" -> ((s, dir) =>
+      // MOSS-style winnowing sketch: min md5 per 4-window of 5-gram
+      // hashes, distinct per doc; any shared 8-token run guarantees
+      // a shared fingerprint
+      graft.ops.Dedup.winnowFingerprints(
+          s.read.parquet(p(dir, "documents")), k = 5, w = 4)
+        .orderBy(col("doc_id"), col("fp"))),
+
+    "q58_nb_classifier" -> ((s, dir) => {
+      // fastText-classifier leg in its counts-only NB form: train on
+      // the doc_id % 3 == 0 slice labeled by length (n_chars >= 300),
+      // score EVERY doc with Laplace-smoothed log-odds
+      val docs = s.read.parquet(p(dir, "documents"))
+      val train = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .withColumn("label", col("n_chars") >= 300)
+      graft.ops.Classifier.naiveBayesScore(docs, train, "label")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q59_slice_kl" -> ((s, dir) =>
+      // per-source distribution drift: KL(P_source || Q_corpus) over
+      // unigrams — exact, no smoothing needed (slice support is a
+      // subset of corpus support)
+      graft.ops.Distrib.sliceKlDivergence(
+          s.read.parquet(p(dir, "documents")), "source")
+        .orderBy(col("source"))),
+
+    "q60_bm25" -> ((s, dir) =>
+      // lexical retrieval probe: Okapi BM25 top-25 for a fixed
+      // 3-term query; map-side term filter, O(probe) scalars,
+      // TakeOrdered top-k
+      graft.ops.Retrieval.bm25TopK(
+          s.read.parquet(p(dir, "documents")),
+          Seq("spark", "join", "window"), k = 25)
+        .orderBy(col("score").desc, col("doc_id"))),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -2134,6 +2170,102 @@ object SparkEntry {
         |  FROM documents)
         |SELECT rk.lang, doc_id, rn FROM rk JOIN q USING (lang)
         |WHERE rn <= q.quota ORDER BY lang, rn""".stripMargin,
+
+    // Winnowing selects by STRING min over md5 hex — identical bytes
+    // in both engines, so the chosen fingerprints match exactly.
+    "q61_winnow_fingerprints" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(toks) - 4 AS ng, u.i AS gpos,
+        |         md5(array_to_string(toks[u.i+1 : u.i+5], ' ')) AS h
+        |  FROM tk, LATERAL unnest(generate_series(0, len(toks)-5)) u(i)
+        |  WHERE len(toks) >= 5),
+        |wm AS (
+        |  SELECT doc_id, ng, gpos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY gpos
+        |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM g)
+        |SELECT DISTINCT doc_id, fp FROM wm
+        |WHERE gpos >= least(4, ng) - 1
+        |ORDER BY doc_id, fp""".stripMargin,
+
+    // Counts-only NB: the oracle trains the SAME model. pred comes
+    // from the ROUNDED log-odds in both engines; the round(4)
+    // absorbs float sum-order differences as in q46/q54.
+    "q58_nb_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |lab AS (
+        |  SELECT doc_id, n_chars >= 300 AS y FROM documents WHERE doc_id % 3 = 0),
+        |m AS (
+        |  SELECT word,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN y THEN 0 ELSE 1 END) AS cn
+        |  FROM tok JOIN lab USING (doc_id) GROUP BY 1),
+        |tot AS (
+        |  SELECT coalesce(sum(cp), 0) AS tp, coalesce(sum(cn), 0) AS tn,
+        |         greatest(count(*), 1) AS v
+        |  FROM m),
+        |pri AS (
+        |  SELECT greatest(sum(CASE WHEN y THEN 1 ELSE 0 END), 1) AS np,
+        |         greatest(sum(CASE WHEN y THEN 0 ELSE 1 END), 1) AS nn
+        |  FROM lab),
+        |sc AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    round(ln(pri.np::DOUBLE / pri.nn::DOUBLE) +
+        |      sum(ln((coalesce(m.cp, 0) + 1)::DOUBLE / (tot.tp + tot.v)::DOUBLE)
+        |        - ln((coalesce(m.cn, 0) + 1)::DOUBLE / (tot.tn + tot.v)::DOUBLE)),
+        |      4) AS log_odds
+        |  FROM tok t LEFT JOIN m USING (word), tot, pri
+        |  GROUP BY t.doc_id, pri.np, pri.nn, tot.tp, tot.tn, tot.v)
+        |SELECT doc_id, n_tokens, log_odds, log_odds > 0 AS pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q59_slice_kl" ->
+      """WITH sw AS (
+        |  SELECT source, word, count(*) AS csw FROM (
+        |    SELECT source, unnest(list_filter(
+        |      string_split_regex(lower(text), '\W+'), x -> x <> '')) AS word
+        |    FROM documents) GROUP BY 1, 2),
+        |cw AS (SELECT word, sum(csw) AS cw FROM sw GROUP BY 1),
+        |ns AS (SELECT source, sum(csw) AS ns FROM sw GROUP BY 1),
+        |n AS (SELECT greatest(coalesce(sum(cw), 0), 1)::DOUBLE AS n FROM cw)
+        |SELECT s.source, max(x.ns)::BIGINT AS n_tokens,
+        |  round(sum((csw::DOUBLE / x.ns::DOUBLE) *
+        |    ln((csw::DOUBLE / x.ns::DOUBLE) / (c.cw::DOUBLE / n.n))), 4) AS kl
+        |FROM sw s JOIN cw c USING (word) JOIN ns x USING (source), n
+        |GROUP BY s.source ORDER BY s.source""".stripMargin,
+
+    "q60_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, len(toks) AS len, unnest(toks) AS term FROM tk),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf, max(len) AS len
+        |  FROM tok WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT greatest(count(*), 1)::DOUBLE AS nn,
+        |         greatest(coalesce(avg(len(toks)), 0), 0.000000001) AS avgl
+        |  FROM tk),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id,
+        |  round(sum(idf * (tf * (1.2 + 1.0)::DOUBLE) /
+        |    (tf + 1.2::DOUBLE * ((1.0 - 0.75)::DOUBLE + 0.75::DOUBLE * len / avgl))), 4)
+        |    AS score,
+        |  count(*) AS n_terms
+        |FROM (
+        |  SELECT t.doc_id, t.term, t.tf, t.len, s.avgl,
+        |    ln((s.nn - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+        |  FROM tf t JOIN dfq d USING (term), stats s)
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
 
     "q57_quality_deciles" ->
       """WITH rk AS (

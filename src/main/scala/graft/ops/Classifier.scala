@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the fastText-classifier leg of a
+  * web-curation recipe (CCNet / GPT-3 style: score every page by a
+  * lightweight text classifier trained on a labeled reference, keep
+  * by score). The in-engine form is multinomial Naive Bayes with
+  * Laplace smoothing: counts-only training, so the ENTIRE train +
+  * score program is exact relational algebra — the DuckDB oracle runs
+  * the same model. (A production fastText/logreg swaps the scoring
+  * join's weight table; the dataflow — one training aggregation, one
+  * broadcast-able model join, one doc-keyed sum — is identical.)
+  *
+  *   log-odds(d) = ln P(pos)/P(neg)
+  *               + sum_w [ ln p(w|pos) - ln p(w|neg) ]
+  *   p(w|c)      = (count_c(w) + 1) / (total_c + V)
+  *
+  * with V = distinct words in the training slice and the priors from
+  * the class document counts. OOV words still contribute (the two
+  * class denominators differ) — that is the Laplace rule, not a bug.
+  * `pred` = log-odds > 0. Scores round to 4 (absorbs libm ulps).
+  *
+  * Scale shape: the model is ONE hash agg over the training slice
+  * (word x class counts via conditional sums — no pivot shuffle),
+  * plus O(model) derived scalars riding a broadcast one-row cross
+  * join; scoring is a token->word join (broadcast when the vocab is
+  * bounded) + a doc-keyed sum. Never a second corpus pass.
+  *
+  * Degenerate training (a class with zero docs) keeps defined
+  * semantics: counts coalesce to 0, denominators clamp to >= 1, the
+  * prior ratio clamps its zero side to 1 document.
+  */
+object Classifier {
+
+  def naiveBayesScore(docs: DataFrame, train: DataFrame, labelCol: String,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+    val trainTok = train.select(col(labelCol).cast("boolean").as("__y"),
+      explode(toks(col(textCol))).as("word"))
+    // word x class counts in ONE aggregation; pinned so the totals
+    // derivation and the scoring join share one evaluation of the
+    // training scan (the model is vocab-sized, bounded)
+    val model = trainTok.groupBy(col("word")).agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("cp"),
+      sum(when(col("__y"), 0L).otherwise(1L)).as("cn"))
+      .localCheckpoint()
+    // O(model) scalars: class token totals, vocab size, doc priors
+    val totals = model.agg(
+      coalesce(sum(col("cp")), lit(0L)).as("__tp"),
+      coalesce(sum(col("cn")), lit(0L)).as("__tn"),
+      greatest(count(lit(1)), lit(1L)).as("__v"))
+    val priors = train.agg(
+      greatest(sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)),
+        lit(1L)).as("__np"),
+      greatest(sum(when(col(labelCol).cast("boolean"), 0L).otherwise(1L)),
+        lit(1L)).as("__nn"))
+    val consts = totals.crossJoin(priors)
+    val tok = docs.select(col(idCol), explode(toks(col(textCol))).as("word"))
+    tok
+      .join(model, Seq("word"), "left")
+      .crossJoin(broadcast(consts))
+      .withColumn("__lo",
+        log((coalesce(col("cp"), lit(0L)) + 1L).cast("double") /
+            (col("__tp") + col("__v")).cast("double")) -
+        log((coalesce(col("cn"), lit(0L)) + 1L).cast("double") /
+            (col("__tn") + col("__v")).cast("double")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(first(log(col("__np").cast("double") / col("__nn").cast("double")))
+          + sum(col("__lo")), 4).as("log_odds"))
+      .withColumn("pred", col("log_odds") > 0.0)
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines —
@@ -436,5 +437,52 @@ object Dedup {
     release(eIds -- labelIds)
     require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
     labels.select(col("n").as(nodeCol), col("lbl").as("component"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm, value-selection form): hash
+    * every k-token gram, slide a window of `w` consecutive gram
+    * hashes, keep each window's MINIMUM hash, emit the distinct kept
+    * hashes per document. Any shared run of >= k + w - 1 tokens
+    * between two documents is GUARANTEED to contribute at least one
+    * common fingerprint (both sides see an identical full window and
+    * pick the same minimum), while expected density is ~2/(w+1) of
+    * the grams — the standard local-plagiarism/overlap sketch between
+    * the exact-substring rule (all grams, [[ExactSubstr]]) and a
+    * global MinHash signature ([[minhashLsh]], no locality).
+    *
+    * The hash is the md5 HEX STRING of the gram text: engine-portable
+    * (identical bytes in any SQL engine, so the window minimum — a
+    * plain string min — selects identically everywhere; a seeded
+    * xxhash64 would be Spark-private) and collision-safe at corpus
+    * scale. Documents with fewer than `w` grams keep the minimum over
+    * what they have (one fingerprint); docs shorter than k tokens
+    * emit none.
+    *
+    * Scale shape: grams never shuffle as text — the only shuffles are
+    * the doc-keyed window (bounded by document length, no whale key
+    * possible) and the final per-doc distinct. Map-side gram
+    * construction via transform/posexplode, codegen'd md5.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, "gram length k and window w must be >= 1")
+    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val base = docs.select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val gramHs = when(col("__n") >= k,
+      transform(sequence(lit(0), col("__n") - k),
+        i => md5(array_join(slice(col("__toks"), i + 1, lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val g = base
+      .select(col(idCol), (col("__n") - k + 1).as("__ng"), posexplode(gramHs))
+      .toDF(idCol, "__ng", "__gpos", "__h")
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__gpos"))
+      .rowsBetween(-(w - 1), 0)
+    g.withColumn("__m", min(col("__h")).over(win))
+      .filter(col("__gpos") >= least(lit(w), col("__ng")) - 1)
+      .select(col(idCol), col("__m").as("fp"))
+      .distinct()
   }
 }

@@ -89,10 +89,14 @@ object LmScore {
     val refToks = ref.select(explode(toks(col(textCol))).as("word"))
     val vocab = refToks.agg(
       greatest(count_distinct(col("word")), lit(1L)).as("__v"))
+    // pinned: ctx and the scoring join both derive from refBg —
+    // one evaluation of the reference bigram scan (the model is
+    // bigram-vocab-sized, bounded)
     val refBg = ref
       .select(explode(bigrams(col(textCol))).as("bg"))
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
     val ctx = refBg.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val docBg = docs.select(col(idCol), explode(bigrams(col(textCol))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))

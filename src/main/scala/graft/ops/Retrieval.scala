@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the corpus — the "find the documents most
+  * relevant to this probe" leg used for targeted curation audits,
+  * eval-set mining, and quality-probe spot checks. Classic Okapi
+  * BM25 (Robertson & Walker; the form Lucene/Trino implement):
+  *
+  *   score(d, Q) = sum_{t in Q} idf(t) *
+  *                 tf * (k1 + 1) / (tf + k1 * (1 - b + b * len/avg))
+  *   idf(t)      = ln( (N - df + 0.5) / (df + 0.5) + 1 )
+  *
+  * with len the document's token count and avg the corpus mean. The
+  * whole program is exact relational algebra over term counts, so
+  * the DuckDB oracle runs the same model; scores round(4) to absorb
+  * libm ulps. Ties break by doc id for a deterministic top-k.
+  *
+  * Scale shape: the probe terms are a literal — the per-doc term
+  * filter runs MAP-SIDE at scan speed, so the only corpus-sized
+  * work is one scan + one (doc, term) hash agg over MATCHING terms
+  * only; df/N/avg are O(probe) scalars riding broadcast one-row
+  * joins; the final top-k is a TakeOrdered of k rows, never a global
+  * sort materialization. At 10^12 docs this is the right shape: the
+  * inverted-index shortcut (skip non-matching docs at the source) is
+  * a storage-side optimization with identical semantics.
+  */
+object Retrieval {
+
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0, "query terms and k required")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+    // one corpus pass: doc length + per-probe-term tf (map-side filter)
+    val base = docs.select(col(idCol), toks(col(textCol)).as("__t"))
+      .select(col(idCol), size(col("__t")).as("len"),
+        explode(filter(col("__t"),
+          t => t.isInCollection(terms))).as("term"))
+    val tf = base.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("len")).as("len"))
+    // corpus scalars: N and avg len come from the docs table itself
+    val stats = docs.select(col(idCol), size(toks(col(textCol))).as("__l"))
+      .agg(greatest(count(lit(1)), lit(1L)).cast("double").as("__nn"),
+        greatest(coalesce(avg(col("__l")), lit(0.0)), lit(1e-9)).as("__avg"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("__nn") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("__s",
+        col("__idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("__avg"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__s")), 4).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

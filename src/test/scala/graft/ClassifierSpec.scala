@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.Classifier
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClassifierSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-classifier")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("NB log-odds matches the hand-computed Laplace model; degenerate one-class train defined") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    // train: pos docs say "good nice", neg docs say "bad"
+    //   pos tokens: good=2, nice=1 (tp=3); neg tokens: bad=2 (tn=2)
+    //   vocab {good, nice, bad} -> V=3; priors np=2, nn=1
+    val train = Seq(
+      (101L, "good nice", true), (102L, "good", true), (103L, "bad bad", false)
+    ).toDF("doc_id", "text", "label")
+    val docs = Seq(
+      (1L, "good"),  // ln(2) + ln((2+1)/6) - ln((0+1)/5)
+      (2L, "bad"),   // ln(2) + ln((0+1)/6) - ln((2+1)/5)
+      (3L, "zz")     // OOV: ln(2) + ln(1/6) - ln(1/5)
+    ).toDF("doc_id", "text")
+    val out = Classifier.naiveBayesScore(docs, train, "label")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    def r4(x: Double) = math.round(x * 10000) / 10000.0
+    val pri = math.log(2.0 / 1.0)
+    assert(out(1L)._2 == r4(pri + math.log(3.0 / 6) - math.log(1.0 / 5)))
+    assert(out(2L)._2 == r4(pri + math.log(1.0 / 6) - math.log(3.0 / 5)))
+    assert(out(3L)._2 == r4(pri + math.log(1.0 / 6) - math.log(1.0 / 5)))
+    // the ordering the classifier exists for: good-word doc scores
+    // positive, bad-word doc negative
+    assert(out(1L)._3 && out(1L)._2 > 0)
+    assert(!out(2L)._3 && out(2L)._2 < 0)
+    // one-class degenerate training stays defined (clamped prior)
+    val onlyPos = train.filter(col("label"))
+    val deg = Classifier.naiveBayesScore(docs, onlyPos, "label").collect()
+    assert(deg.length == 3 && deg.forall(r => !r.isNullAt(2)))
+  }
+}

@@ -432,4 +432,34 @@ class DedupSpec extends AnyFunSuite {
       (1L, 0, "Nav  Bar"), (1L, 1, "real content"), (1L, 3, "more text"),
       (2L, 0, "nav bar"), (2L, 1, "footer")))
   }
+
+  test("winnowFingerprints: shared k+w-1 run guarantees a shared fp; short docs; density < all-grams") {
+    import spark.implicits._
+    // k=5, w=4 -> any shared run of 8 tokens shares a fingerprint.
+    // docs 1 and 2 share exactly the 8-token run "a b c d e f g h"
+    // embedded in different surroundings; doc 3 is unrelated; doc 4
+    // has < k tokens; doc 5 has >= k tokens but < w grams (6 toks ->
+    // 2 grams) and must emit exactly ONE fingerprint
+    val docs = Seq(
+      (1L, "x1 y1 a b c d e f g h z1 w1 q1 r1"),
+      (2L, "mm nn oo a b c d e f g h pp"),
+      (3L, "totally different words here nothing shared at all ok"),
+      (4L, "too few"),
+      (5L, "just six tokens right here now")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty)
+    assert(!byDoc.contains(4L), "doc shorter than k emits no fingerprints")
+    assert(byDoc(5L).size == 1, "doc with < w grams keeps the min over all its grams")
+    // density: winnowing keeps strictly fewer hashes than the gram count
+    val n1Grams = 14 - 5 + 1
+    assert(byDoc(1L).size < n1Grams)
+    // determinism
+    val again = Dedup.winnowFingerprints(docs, k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == fp.toSet)
+  }
 }

@@ -190,6 +190,35 @@ class PlanSpec extends AnyFunSuite {
     assert(ajHash <= 8, s"asofJoinSkewAware: expected <=4 data shuffles (x2 AQE print), got $ajHash:\n$ajPlan")
   }
 
+  test("web-curation surface: map-side ops have ZERO exchanges, BM25 top-k is TakeOrdered, winnowing stays doc-keyed") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // cleanText + canonicalizeUrl are pure column expressions — any
+    // Exchange here falsifies the "runs at scan speed" contract
+    val clean = docs.select(
+      graft.ops.TextAnalysis.cleanText(col("text")).as("c"))
+    assert(!planOf(clean).contains("Exchange"),
+      s"cleanText must be shuffle-free:\n${planOf(clean)}")
+    val canon = docs.select(graft.ops.Web.canonicalizeUrl(
+      concat(lit("https://WWW."), col("source"), lit(".COM/p"))).as("u"))
+    assert(!planOf(canon).contains("Exchange"),
+      s"canonicalizeUrl must be shuffle-free:\n${planOf(canon)}")
+    // BM25: the top-k must plan as TakeOrderedAndProject — a global
+    // Sort of every scored doc would materialize the corpus at 100 TB
+    val bm = graft.ops.Retrieval.bm25TopK(docs, Seq("spark", "join"), 10)
+    bm.collect()
+    val bmPlan = planOf(bm)
+    assert(bmPlan.contains("TakeOrderedAndProject"),
+      s"bm25 top-k must be TakeOrdered, not global sort:\n$bmPlan")
+    // winnowing: one doc-keyed window exchange + the distinct — no
+    // gram-keyed corpus-wide shuffle may appear
+    val wf = graft.ops.Dedup.winnowFingerprints(docs, k = 5, w = 4)
+    wf.collect()
+    val wfPlan = planOf(wf)
+    val wfHash = "Exchange hashpartitioning".r.findAllIn(wfPlan).length
+    assert(wfHash <= 4,
+      s"winnowFingerprints: expected <=2 data shuffles (x2 AQE print), got $wfHash:\n$wfPlan")
+  }
+
   test("OCR runs once per distinct content hash (cache semantics, C5/P1)") {
     // count kernel invocations via an accumulator-free proxy: the
     // distinct-content side row count equals distinct sha2 of media
