@@ -651,6 +651,31 @@ object SparkEntry {
           Seq("spark", "join", "window"), k = 25)
         .orderBy(col("score").desc, col("doc_id"))),
 
+    "q62_pairwise_jsd" -> ((s, dir) =>
+      // mixture-design audit: Jensen-Shannon divergence between every
+      // two sources' unigram distributions — shared-vocab inner join
+      // + closed-form unshared mass, pairs frame from totals x totals
+      graft.ops.Distrib.pairwiseJsd(
+          s.read.parquet(p(dir, "documents")), "source")
+        .orderBy(col("source_a"), col("source_b"))),
+
+    "q63_pmi_colloc" -> ((s, dir) =>
+      // collocation probe: top-50 adjacent bigrams by PMI with a
+      // count>=5 floor; two map-side-combine aggs, model-sized joins,
+      // TakeOrdered on the ROUNDED pmi
+      graft.ops.Colloc.pmiCollocations(
+          s.read.parquet(p(dir, "documents")), minCount = 5, k = 50)),
+
+    "q64_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights toward the lang='en' slice: hashed-
+      // bigram models (B=65536 buckets — fixed-size, broadcast by
+      // construction), smoothed log-ratio, doc-keyed sum
+      val docs = s.read.parquet(p(dir, "documents"))
+      graft.ops.Dsir.importanceWeights(
+          docs, docs.filter(col("lang") === "en"), buckets = 65536)
+        .orderBy(col("doc_id"))
+    }),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -2240,6 +2265,92 @@ object SparkEntry {
         |    ln((csw::DOUBLE / x.ns::DOUBLE) / (c.cw::DOUBLE / n.n))), 4) AS kl
         |FROM sw s JOIN cw c USING (word) JOIN ns x USING (source), n
         |GROUP BY s.source ORDER BY s.source""".stripMargin,
+
+    // JSD via the same shared-vocab + closed-form-unshared-mass split;
+    // n_shared is an exact integer cross-check, jsd rounds to 4
+    "q62_pairwise_jsd" ->
+      """WITH sw AS (
+        |  SELECT source, word, count(*) AS c FROM (
+        |    SELECT source, unnest(list_filter(
+        |      string_split_regex(lower(text), '\W+'), x -> x <> '')) AS word
+        |    FROM documents) GROUP BY 1, 2),
+        |ns AS (SELECT source, sum(c) AS ns FROM sw GROUP BY 1),
+        |p AS (
+        |  SELECT s.source, s.word, s.c::DOUBLE / n.ns::DOUBLE AS p
+        |  FROM sw s JOIN ns n USING (source)),
+        |sh AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    sum(0.5 * (a.p * ln(2 * a.p / (a.p + b.p)) +
+        |               b.p * ln(2 * b.p / (a.p + b.p)))) AS st,
+        |    sum(a.p) AS sp, sum(b.p) AS sq, count(*) AS n_shared
+        |  FROM p a JOIN p b USING (word)
+        |  WHERE a.source < b.source GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a.source AS source_a, b.source AS source_b
+        |  FROM ns a JOIN ns b ON a.source < b.source)
+        |SELECT pr.source_a, pr.source_b,
+        |  coalesce(n_shared, 0) AS n_shared,
+        |  round(coalesce(st, 0) +
+        |    0.5 * (1 - coalesce(sp, 0)) * ln(2) +
+        |    0.5 * (1 - coalesce(sq, 0)) * ln(2), 4) AS jsd
+        |FROM pr LEFT JOIN sh USING (source_a, source_b)
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // the bucket hash is the md5-hex head parsed as an integer —
+    // identical in both engines, so the models agree bucket-for-bucket
+    "q64_dsir_weights" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |fe AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(toks[u.i+1] || ' ' || toks[u.i+2]), 1, 8))::BIGINT
+        |      % 65536 AS f
+        |  FROM tk, LATERAL unnest(generate_series(0, len(toks)-2)) u(i)
+        |  WHERE len(toks) >= 2),
+        |tm AS (SELECT f, count(*) AS ct FROM fe WHERE lang = 'en' GROUP BY 1),
+        |rm AS (SELECT f, count(*) AS cr FROM fe GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT coalesce(sum(ct), 0) FROM tm) AS tt,
+        |         (SELECT coalesce(sum(cr), 0) FROM rm) AS tr)
+        |SELECT fe.doc_id, count(*) AS n_feats,
+        |  round(sum(
+        |    ln((coalesce(ct, 0) + 1)::DOUBLE / (tt + 65536)::DOUBLE) -
+        |    ln((coalesce(cr, 0) + 1)::DOUBLE / (tr + 65536)::DOUBLE)), 4) AS log_w
+        |FROM fe LEFT JOIN tm USING (f) LEFT JOIN rm USING (f), tot
+        |GROUP BY fe.doc_id, tt, tr
+        |ORDER BY fe.doc_id""".stripMargin,
+
+    // both engines rank by the ROUNDED pmi then (w1, w2) — the only
+    // way a DOUBLE-keyed top-k is reproducible across libms
+    "q63_pmi_colloc" ->
+      """WITH tk AS (
+        |  SELECT list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT toks[u.i+1] AS w1, toks[u.i+2] AS w2
+        |  FROM tk, LATERAL unnest(generate_series(0, len(toks)-2)) u(i)
+        |  WHERE len(toks) >= 2),
+        |bg AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM g GROUP BY 1, 2
+        |  HAVING count(*) >= 5),
+        |uni AS (
+        |  SELECT word, count(*) AS c1 FROM (
+        |    SELECT unnest(toks) AS word FROM tk) GROUP BY 1),
+        |tot AS (
+        |  SELECT greatest(coalesce(sum(c1), 0), 1)::DOUBLE AS nu FROM uni),
+        |nbt AS (
+        |  SELECT greatest(coalesce(sum(greatest(len(toks) - 1, 0)), 0), 1)::DOUBLE AS nbt
+        |  FROM tk)
+        |SELECT b.w1, b.w2, b.c2,
+        |  round(ln((b.c2::DOUBLE / nbt.nbt) /
+        |    ((ua.c1::DOUBLE / tot.nu) * (ub.c1::DOUBLE / tot.nu))), 4) AS pmi
+        |FROM bg b
+        |JOIN uni ua ON ua.word = b.w1
+        |JOIN uni ub ON ub.word = b.w2, tot, nbt
+        |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 50""".stripMargin,
 
     "q60_bm25" ->
       """WITH tk AS (

@@ -50,4 +50,72 @@ object Distrib {
       .agg(max(col("ns")).as("n_tokens"),
         round(sum(col("__p") * log(col("__p") / col("__q"))), 4).as("kl"))
   }
+
+  /** Pairwise Jensen-Shannon divergence between every two slices'
+    * unigram distributions — the symmetric, bounded ([0, ln 2])
+    * companion to [[sliceKlDivergence]] for mixture design: which
+    * sources are near-duplicates of each other distributionally, and
+    * which contribute genuinely distinct text.
+    *
+    * JSD(P,Q) = (KL(P||M) + KL(Q||M)) / 2 with M = (P+Q)/2. Words in
+    * only ONE slice contribute exactly (ln 2)/2 times their
+    * probability mass (p ln(p/(p/2)) = p ln 2), so the sum splits
+    * into an inner-join term over the SHARED vocabulary plus closed
+    * forms of the unshared masses:
+    *
+    *   JSD = 0.5 * [ sum_shared p ln(2p/(p+q)) + q ln(2q/(p+q)) ]
+    *       + 0.5 * (1 - sum_shared p) ln 2
+    *       + 0.5 * (1 - sum_shared q) ln 2
+    *
+    * — no outer join over the vocabulary union needed. Disjoint
+    * slices score exactly ln 2; identical ones exactly 0.
+    *
+    * Scale shape: the ONLY corpus-sized shuffle is the (slice, word)
+    * hash agg (shared with sliceKlDivergence's model); the word-keyed
+    * self-join and everything after are model-sized (vocab x slices),
+    * and the per-word join fan-out is bounded by the slice count. The
+    * slice-pair frame comes from the totals table joined to itself —
+    * O(slices^2) rows — so pairs sharing NO words still appear (at
+    * ln 2). Slice cardinality is assumed dashboard-scale (sources,
+    * languages, shards — not doc_id).
+    */
+  def pairwiseJsd(docs: DataFrame, sliceCol: String,
+                  textCol: String = "text"): DataFrame = {
+    def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+    val ca = s"${sliceCol}_a"
+    val cb = s"${sliceCol}_b"
+    // pinned: ns and both join legs derive from sw — one evaluation
+    // of the corpus tokenize+agg (the model is O(slices x vocab))
+    val sw = docs
+      .select(col(sliceCol), explode(toks(col(textCol))).as("word"))
+      .groupBy(col(sliceCol), col("word")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val ns = sw.groupBy(col(sliceCol)).agg(sum(col("c")).as("ns"))
+    val prob = sw.join(ns, Seq(sliceCol))
+      .select(col(sliceCol),
+        col("word"),
+        (col("c").cast("double") / col("ns").cast("double")).as("p"))
+    val a = prob.select(col(sliceCol).as(ca), col("word"), col("p"))
+    val b = prob.select(col(sliceCol).as(cb), col("word"), col("p").as("q"))
+    val shared = a.join(b, Seq("word"))
+      .filter(col(ca) < col(cb))
+      .groupBy(col(ca), col(cb))
+      .agg(
+        sum(lit(0.5) * (col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))) +
+          col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))).as("__st"),
+        sum(col("p")).as("__sp"),
+        sum(col("q")).as("__sq"),
+        count(lit(1)).as("n_shared"))
+    val pairs = ns.select(col(sliceCol).as(ca)).crossJoin(
+        ns.select(col(sliceCol).as(cb)))
+      .filter(col(ca) < col(cb))
+    val ln2 = math.log(2.0)
+    pairs.join(shared, Seq(ca, cb), "left")
+      .select(col(ca), col(cb),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("__st"), lit(0.0)) +
+          lit(0.5) * (lit(1.0) - coalesce(col("__sp"), lit(0.0))) * lit(ln2) +
+          lit(0.5) * (lit(1.0) - coalesce(col("__sq"), lit(0.0))) * lit(ln2),
+          4).as("jsd"))
+  }
 }

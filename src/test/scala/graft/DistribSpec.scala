@@ -33,4 +33,32 @@ class DistribSpec extends AnyFunSuite {
     assert(kl("s2") == r4(0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)))
     assert(kl.values.forall(_ >= 0.0), "Gibbs: KL is never negative")
   }
+
+  test("pairwise JSD: identical slices 0, disjoint slices ln 2, hand-computed mixed pair, every pair present") {
+    import spark.implicits._
+    def r4(x: Double) = math.round(x * 10000) / 10000.0
+    val ln2 = math.log(2.0)
+    // s1 == s2 ({a:2,b:1}); s3 is vocabulary-disjoint; s4 overlaps s1
+    // on 'a' only: s1 p(a)=2/3, s4 q(a)=1/2 (plus d:1/2 unshared)
+    val docs = Seq(
+      ("s1", "a a b"), ("s2", "b a a"),
+      ("s3", "x y z"), ("s4", "a d")
+    ).toDF("source", "text")
+    val out = Distrib.pairwiseJsd(docs, "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.size == 6, "all C(4,2) pairs present, incl. disjoint ones")
+    assert(out(("s1", "s2")) == (2L, 0.0), "identical distributions -> exactly 0")
+    assert(out(("s1", "s3")) == (0L, r4(ln2)), "disjoint -> exactly ln 2")
+    assert(out(("s3", "s4")) == (0L, r4(ln2)))
+    // hand-computed s1/s4: shared 'a' with p=2/3, q=1/2:
+    //   0.5*(p ln(2p/(p+q)) + q ln(2q/(p+q))) + 0.5*(1-p)ln2 + 0.5*(1-q)ln2
+    val (p, q) = (2.0 / 3.0, 0.5)
+    val exp = 0.5 * (p * math.log(2 * p / (p + q)) + q * math.log(2 * q / (p + q))) +
+      0.5 * (1 - p) * ln2 + 0.5 * (1 - q) * ln2
+    assert(out(("s1", "s4"))._1 == 1L && out(("s1", "s4"))._2 == r4(exp))
+    // bounds: JSD always within [0, ln 2]
+    assert(out.values.forall { case (_, j) => j >= 0.0 && j <= r4(ln2) })
+  }
 }
