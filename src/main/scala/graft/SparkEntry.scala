@@ -666,6 +666,17 @@ object SparkEntry {
       graft.ops.Colloc.pmiCollocations(
           s.read.parquet(p(dir, "documents")), minCount = 5, k = 50)),
 
+    "q65_token_budget_plan" -> ((s, dir) => {
+      // mixture realization: binary-exact design weights (sum 1.0 in
+      // IEEE) over the 20 sources + one corpus-absent audit row;
+      // 1M-token budget -> per-source target/rate/epochs
+      val w = (0 to 11).map(i => s"src$i" -> 0.0625) ++
+        (12 to 19).map(i => s"src$i" -> 0.03125) :+ ("srcx" -> 0.0)
+      graft.ops.Mixture.tokenBudgetPlan(
+          s.read.parquet(p(dir, "documents")), w, budget = 1000000L)
+        .orderBy(col("source"))
+    }),
+
     "q64_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights toward the lang='en' slice: hashed-
       // bigram models (B=65536 buckets — fixed-size, broadcast by
@@ -2295,6 +2306,40 @@ object SparkEntry {
         |    0.5 * (1 - coalesce(sq, 0)) * ln(2), 4) AS jsd
         |FROM pr LEFT JOIN sh USING (source_a, source_b)
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // the design weights are binary-exact (sums of 2^-4 and 2^-5) so
+    // the Scala-side sum and the SQL literal 1.0 are the SAME double;
+    // floor/round arithmetic then agrees bit-for-bit
+    "q65_token_budget_plan" ->
+      """WITH av AS (
+        |  SELECT source, sum(len(list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> ''))) AS avail
+        |  FROM documents GROUP BY 1),
+        |w(source, weight) AS (VALUES
+        |  ('src0', 0.0625), ('src1', 0.0625), ('src2', 0.0625),
+        |  ('src3', 0.0625), ('src4', 0.0625), ('src5', 0.0625),
+        |  ('src6', 0.0625), ('src7', 0.0625), ('src8', 0.0625),
+        |  ('src9', 0.0625), ('src10', 0.0625), ('src11', 0.0625),
+        |  ('src12', 0.03125), ('src13', 0.03125), ('src14', 0.03125),
+        |  ('src15', 0.03125), ('src16', 0.03125), ('src17', 0.03125),
+        |  ('src18', 0.03125), ('src19', 0.03125), ('srcx', 0.0)),
+        |j AS (
+        |  SELECT coalesce(av.source, w.source) AS source,
+        |         coalesce(w.weight, 0.0)::DOUBLE AS weight,
+        |         coalesce(av.avail, 0)::BIGINT AS avail_tokens
+        |  FROM av FULL OUTER JOIN w ON av.source = w.source),
+        |t AS (
+        |  SELECT source, weight, avail_tokens,
+        |    floor(1000000.0 * weight / 1.0)::BIGINT AS target_tokens
+        |  FROM j),
+        |r AS (
+        |  SELECT *, CASE WHEN avail_tokens > 0
+        |    THEN round(target_tokens::DOUBLE / avail_tokens::DOUBLE, 6)
+        |    ELSE 0.0 END AS rate
+        |  FROM t)
+        |SELECT source, weight, avail_tokens, target_tokens, rate,
+        |  ceil(rate)::BIGINT AS epochs
+        |FROM r ORDER BY source""".stripMargin,
 
     // the bucket hash is the md5-hex head parsed as an integer —
     // identical in both engines, so the models agree bucket-for-bucket

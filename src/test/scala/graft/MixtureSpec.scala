@@ -1,0 +1,42 @@
+package graft
+
+import graft.ops.Mixture
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class MixtureSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-mixture")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("token budget plan: hand-computed targets/rates/epochs, unweighted and corpus-absent slices audited") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    // inventories: a=6 tokens (2 docs x 3), b=2, c=4; c gets no weight
+    val docs = Seq(
+      ("a", "one two three"), ("a", "four five six"),
+      ("b", "seven eight"),
+      ("c", "x y z w")
+    ).toDF("source", "text")
+    // weights sum to 1.0; 'd' names a slice the corpus lacks
+    val plan = Mixture.tokenBudgetPlan(docs,
+        Seq("a" -> 0.5, "b" -> 0.4, "d" -> 0.1), budget = 10L)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))
+      .toMap
+    // a: target floor(10*0.5)=5 of 6 avail -> rate 5/6, 1 epoch
+    assert(plan("a") == (0.5, 6L, 5L, math.round(5.0 / 6.0 * 1e6) / 1e6, 1L))
+    // b: target 4 of 2 avail -> rate 2.0 -> UPSAMPLED, 2 epochs
+    assert(plan("b") == (0.4, 2L, 4L, 2.0, 2L))
+    // c: in corpus, not in design -> weight 0, target 0, rate 0
+    assert(plan("c") == (0.0, 4L, 0L, 0.0, 0L))
+    // d: in design, not in corpus -> avail 0, rate clamps to 0
+    assert(plan("d") == (0.1, 0L, 1L, 0.0, 0L))
+    assert(plan.size == 4, "every slice from either side appears")
+  }
+}
