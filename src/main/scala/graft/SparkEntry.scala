@@ -677,6 +677,20 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q66_exact_quantiles" -> ((s, dir) => {
+      // exact per-source token-count percentiles as a value-domain
+      // histogram + integer ceil-rank pick — the 10^12-row shape for
+      // quantiles of a bounded-domain metric (no global sort; the
+      // cumulative walk runs over distinct values, not rows)
+      val d = s.read.parquet(p(dir, "documents"))
+        .select(col("source"),
+          size(filter(split(lower(col("text")), "\\W+"), t => t =!= ""))
+            .cast("long").as("n_tokens"))
+      graft.ops.Quantiles.exactIntQuantiles(d, "n_tokens",
+          Seq(100, 250, 500, 750, 900, 990), keys = Seq("source"))
+        .orderBy(col("source"), col("permille"))
+    }),
+
     "q64_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights toward the lang='en' slice: hashed-
       // bigram models (B=65536 buckets — fixed-size, broadcast by
@@ -1115,6 +1129,35 @@ object SparkEntry {
       graft.ops.Profile.columns(
           s.read.parquet(p(dir, "documents")), kmvK = 8192)
         .orderBy(col("column"))),
+
+    "x28_dd_quantiles" -> ((s, dir) => {
+      // DDSketch-style log-bucket quantile sketch per source, oracled
+      // on its GUARANTEE (the q38/x26 pattern): every estimate must
+      // sit within alpha relative error of the exact quantile (exact
+      // twin computed by q66's histogram machinery in the same job),
+      // so the oracle is the all-true (source, permille) frame. Merge/
+      // invariance laws stay QuantilesSpec-asserted.
+      val alpha = 0.02
+      val docs = s.read.parquet(p(dir, "documents"))
+      val dd = udaf(new graft.ops.Quantiles.DdHistogram(alpha),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val sk = docs.groupBy(col("source"))
+        .agg(dd(col("n_chars").cast("double")).as("sk"))
+      val est = udf((m: Map[Int, Long], pm: Int) =>
+        graft.ops.Quantiles.ddQuantile(m, alpha, pm))
+      val pms = Seq(500, 900, 990)
+      val ex = graft.ops.Quantiles.exactIntQuantiles(
+        docs.select(col("source"), col("n_chars")), "n_chars", pms,
+        keys = Seq("source"))
+      import s.implicits._
+      sk.crossJoin(broadcast(pms.toDF("permille")))
+        .withColumn("est", est(col("sk"), col("permille")))
+        .join(ex, Seq("source", "permille"))
+        .select(col("source"), col("permille"),
+          (abs(col("est") - col("value").cast("double")) <=
+            lit(alpha) * col("value").cast("double")).as("within_bound"))
+        .orderBy(col("source"), col("permille"))
+    }),
 
     "x26_kmv_distinct" -> ((s, dir) => {
       // KMV distinct-count sketch per source, DuckDB-oracled on the
@@ -2340,6 +2383,35 @@ object SparkEntry {
         |SELECT source, weight, avail_tokens, target_tokens, rate,
         |  ceil(rate)::BIGINT AS epochs
         |FROM r ORDER BY source""".stripMargin,
+
+    // integer ceil-rank (pm*n + 999) // 1000 on both sides — no
+    // floating-point percentile boundary for the engines to disagree on
+    "q66_exact_quantiles" ->
+      """WITH v AS (
+        |  SELECT source, len(list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> ''))::BIGINT AS v
+        |  FROM documents),
+        |h AS (SELECT source, v, count(*)::BIGINT AS c FROM v GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, v,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY source)::BIGINT AS n
+        |  FROM h),
+        |p(permille) AS (VALUES (100), (250), (500), (750), (900), (990))
+        |SELECT source, permille,
+        |  ((permille * n + 999) // 1000)::BIGINT AS rank,
+        |  min(v) AS value
+        |FROM cum CROSS JOIN p
+        |WHERE cum >= (permille * n + 999) // 1000
+        |GROUP BY 1, 2, 3 ORDER BY source, permille""".stripMargin,
+
+    // the DDSketch alpha-relative-error guarantee, checked: the oracle
+    // is the all-true (source, permille) frame (q38/x26 pattern)
+    "x28_dd_quantiles" ->
+      """SELECT source, permille, TRUE AS within_bound
+        |FROM (SELECT DISTINCT source FROM documents)
+        |CROSS JOIN (VALUES (500), (900), (990)) p(permille)
+        |ORDER BY source, permille""".stripMargin,
 
     // the bucket hash is the md5-hex head parsed as an integer —
     // identical in both engines, so the models agree bucket-for-bucket
