@@ -701,6 +701,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q67_vocab_jaccard" -> ((s, dir) =>
+      // mixture-design audit, set-overlap leg: exact pairwise
+      // vocabulary Jaccard between sources — distinct (slice, word)
+      // inverted index self-joined on word (fan-out bounded by slice
+      // count), totals-frame pairs so no-overlap pairs still appear
+      graft.ops.Distrib.vocabJaccard(
+          s.read.parquet(p(dir, "documents")), "source")
+        .orderBy(col("source_a"), col("source_b"))),
+
+    "q68_zipf_heaps" -> ((s, dir) =>
+      // corpus power-law health: Zipf ln-ln slope over the top-1000
+      // words (TakeOrdered head, never a vocab-wide sort) + one-point
+      // Heaps exponent ln(vocab)/ln(tokens)
+      graft.ops.Distrib.zipfHeaps(
+          s.read.parquet(p(dir, "documents")), topN = 1000)),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -2412,6 +2428,58 @@ object SparkEntry {
         |FROM (SELECT DISTINCT source FROM documents)
         |CROSS JOIN (VALUES (500), (900), (990)) p(permille)
         |ORDER BY source, permille""".stripMargin,
+
+    // exact set sizes divide once at the end; round(6) tames only the
+    // final division's ulp (the operands are integers in both engines)
+    "q67_vocab_jaccard" ->
+      """WITH sv AS (
+        |  SELECT DISTINCT source, word FROM (
+        |    SELECT source, unnest(list_filter(
+        |      string_split_regex(lower(text), '\W+'), x -> x <> '')) AS word
+        |    FROM documents)),
+        |nv AS (SELECT source, count(*)::BIGINT AS nv FROM sv GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*)::BIGINT AS n_inter
+        |  FROM sv a JOIN sv b USING (word)
+        |  WHERE a.source < b.source GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    a.nv AS vocab_a, b.nv AS vocab_b
+        |  FROM nv a JOIN nv b ON a.source < b.source)
+        |SELECT source_a, source_b, vocab_a, vocab_b,
+        |  coalesce(n_inter, 0)::BIGINT AS n_inter,
+        |  round(coalesce(n_inter, 0)::DOUBLE /
+        |    (vocab_a + vocab_b - coalesce(n_inter, 0))::DOUBLE, 6) AS jaccard
+        |FROM pairs LEFT JOIN inter USING (source_a, source_b)
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // the fit sums run over the same deterministic top-1000 head in
+    // both engines (count desc, word asc tiebreak); round(4) absorbs
+    // summation-order ulps in the ratio-of-sums slope
+    "q68_zipf_heaps" ->
+      """WITH w AS (
+        |  SELECT word, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(lower(text), '\W+'), x -> x <> '')) AS word
+        |    FROM documents) GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS vocab,
+        |               sum(c)::BIGINT AS n_tokens FROM w),
+        |h AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, word) AS r
+        |  FROM w QUALIFY r <= 1000),
+        |fit AS (
+        |  SELECT count(*)::DOUBLE AS k,
+        |    sum(ln(r::DOUBLE)) AS sx, sum(ln(c::DOUBLE)) AS sy,
+        |    sum(ln(r::DOUBLE) * ln(c::DOUBLE)) AS sxy,
+        |    sum(ln(r::DOUBLE) * ln(r::DOUBLE)) AS sxx
+        |  FROM h)
+        |SELECT vocab, n_tokens,
+        |  round(CASE WHEN k * sxx - sx * sx <> 0
+        |    THEN (k * sxy - sx * sy) / (k * sxx - sx * sx)
+        |    ELSE 0 END, 4) AS zipf_slope,
+        |  round(ln(vocab::DOUBLE) / ln(n_tokens::DOUBLE), 4) AS heaps_beta
+        |FROM tot CROSS JOIN fit""".stripMargin,
 
     // the bucket hash is the md5-hex head parsed as an integer —
     // identical in both engines, so the models agree bucket-for-bucket

@@ -118,4 +118,92 @@ object Distrib {
           lit(0.5) * (lit(1.0) - coalesce(col("__sq"), lit(0.0))) * lit(ln2),
           4).as("jsd"))
   }
+
+  /** Pairwise VOCABULARY Jaccard between slices — the set-overlap
+    * companion to [[pairwiseJsd]]'s distributional distance: JSD says
+    * "how differently do they use words", this says "how many words do
+    * they even share". Exact (not MinHash): the distinct (slice, word)
+    * inverted index self-joins on word, so per-word fan-out is bounded
+    * by the slice count and the join is model-sized (vocab x slices),
+    * never corpus-sized. Pairs sharing no words still appear (Jaccard
+    * 0) via the totals-table pair frame. Integer set sizes divide once
+    * at the end — round(6) only tames the final division's engine ulp.
+    *
+    * For slice cardinalities where slices^2 per word is no longer
+    * dashboard-scale, estimate instead by merging per-slice
+    * [[Sketches.KmvDistinct]] signatures (exact below k by the same
+    * guarantee x26 oracles).
+    */
+  def vocabJaccard(docs: DataFrame, sliceCol: String,
+                   textCol: String = "text"): DataFrame = {
+    def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+    val ca = s"${sliceCol}_a"
+    val cb = s"${sliceCol}_b"
+    // pinned: the size table and both join legs derive from sv
+    val sv = docs
+      .select(col(sliceCol), explode(toks(col(textCol))).as("word"))
+      .distinct()
+      .localCheckpoint()
+    val nv = sv.groupBy(col(sliceCol)).agg(count(lit(1)).as("nv"))
+    val inter = sv.select(col(sliceCol).as(ca), col("word"))
+      .join(sv.select(col(sliceCol).as(cb), col("word")), Seq("word"))
+      .filter(col(ca) < col(cb))
+      .groupBy(col(ca), col(cb)).agg(count(lit(1)).as("n_inter"))
+    val pairs = nv.select(col(sliceCol).as(ca), col("nv").as("vocab_a"))
+      .crossJoin(nv.select(col(sliceCol).as(cb), col("nv").as("vocab_b")))
+      .filter(col(ca) < col(cb))
+    pairs.join(inter, Seq(ca, cb), "left")
+      .select(col(ca), col(cb), col("vocab_a"), col("vocab_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("vocab_a") + col("vocab_b") -
+            coalesce(col("n_inter"), lit(0L))).cast("double"), 6).as("jaccard"))
+  }
+
+  /** Zipf slope + Heaps exponent — the two classic power-law health
+    * checks of a text corpus (a natural-language corpus fits slope
+    * near -1; boilerplate floods and template spam bend it): least-
+    * squares slope of ln(freq) on ln(rank) over the top `topN` words
+    * (stable rank: count desc, word asc), and the one-point Heaps
+    * estimate beta = ln(vocab) / ln(tokens).
+    *
+    * Scale shape: ONE corpus-sized aggregation (word counts); the
+    * topN head is an `orderBy.limit` (TakeOrdered — per-partition
+    * top-N then a driver-side merge of topN rows, never a global
+    * sort of the vocabulary), and the rank window runs over the
+    * already-limited head only. round(4) absorbs cross-engine
+    * summation-order ulps in the fit sums, same contract as
+    * [[sliceKlDivergence]].
+    */
+  def zipfHeaps(docs: DataFrame, textCol: String = "text",
+                topN: Int = 1000): DataFrame = {
+    require(topN >= 2, "topN >= 2")
+    def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+    import org.apache.spark.sql.expressions.Window
+    // pinned: totals and the ranked head both derive from w
+    val w = docs
+      .select(explode(toks(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = w.agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"))
+    val fit = w
+      .orderBy(col("c").desc, col("word")).limit(topN)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("word"))))
+      .select(log(col("r").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("double").as("__k"),
+        sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+        sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"))
+    tot.crossJoin(fit)
+      .select(col("vocab"), col("n_tokens"),
+        round(
+          when(col("__k") * col("__sxx") - col("__sx") * col("__sx") =!= 0.0,
+            (col("__k") * col("__sxy") - col("__sx") * col("__sy")) /
+              (col("__k") * col("__sxx") - col("__sx") * col("__sx")))
+            .otherwise(lit(0.0)), 4).as("zipf_slope"),
+        round(log(col("vocab").cast("double")) /
+          log(col("n_tokens").cast("double")), 4).as("heaps_beta"))
+  }
 }

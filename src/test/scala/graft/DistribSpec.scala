@@ -61,4 +61,43 @@ class DistribSpec extends AnyFunSuite {
     // bounds: JSD always within [0, ln 2]
     assert(out.values.forall { case (_, j) => j >= 0.0 && j <= r4(ln2) })
   }
+
+  test("vocab Jaccard: identical 1, disjoint 0 (pair still present), hand-computed partial overlap") {
+    import spark.implicits._
+    // s1 vocab {a,b}; s2 vocab {a,b}; s3 {x,y,z}; s4 {a,d}
+    val docs = Seq(
+      ("s1", "a a b"), ("s2", "b a a"),
+      ("s3", "x y z"), ("s4", "a d")
+    ).toDF("source", "text")
+    val out = Distrib.vocabJaccard(docs, "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(out.size == 6, "all C(4,2) pairs present, incl. disjoint ones")
+    assert(out(("s1", "s2")) == (2L, 2L, 2L, 1.0), "identical vocabularies -> 1")
+    assert(out(("s1", "s3")) == (2L, 3L, 0L, 0.0), "disjoint -> 0, pair still emitted")
+    // s1 {a,b} vs s4 {a,d}: |inter|=1, |union|=3
+    assert(out(("s1", "s4")) == (2L, 2L, 1L, math.round(1e6 / 3.0) / 1e6))
+    assert(out.values.forall { case (_, _, _, j) => j >= 0.0 && j <= 1.0 })
+  }
+
+  test("zipf/heaps: hand-computed two-point fit, uniform corpus slope 0, beta in (0,1]") {
+    import spark.implicits._
+    def r4(x: Double) = math.round(x * 10000) / 10000.0
+    // corpus {a:4, b:2}: ranks (1,ln4) (2,ln2) -> slope =
+    // (ln4-ln2)/(ln1-ln2) = -1 exactly; vocab=2, tokens=6
+    val docs = Seq(("d1", "a a a a b b")).toDF("doc_id", "text")
+    val row = Distrib.zipfHeaps(docs, "text").collect().head
+    assert(row.getLong(0) == 2L && row.getLong(1) == 6L)
+    assert(row.getDouble(2) == -1.0, "two-point ln-ln fit is exact")
+    assert(row.getDouble(3) == r4(math.log(2.0) / math.log(6.0)))
+    // uniform frequencies -> y constant -> slope exactly 0
+    val flat = Seq(("d1", "a b c d")).toDF("doc_id", "text")
+    val fr = Distrib.zipfHeaps(flat, "text").collect().head
+    assert(fr.getDouble(2) == 0.0 && fr.getDouble(3) > 0.0 && fr.getDouble(3) <= 1.0)
+    // topN caps the fit head without touching vocab/token totals
+    val capped = Distrib.zipfHeaps(docs, "text", topN = 2).collect().head
+    assert(capped.getLong(0) == 2L && capped.getLong(1) == 6L)
+  }
 }
