@@ -717,6 +717,23 @@ object SparkEntry {
       graft.ops.Distrib.zipfHeaps(
           s.read.parquet(p(dir, "documents")), topN = 1000)),
 
+    "q69_priority_sample" -> ((s, dir) =>
+      // weighted sampling without replacement (A-ES): top-200 by
+      // ln(u)/w with u a deterministic md5 uniform and w = n_chars —
+      // map-side score + TakeOrdered, no corpus window
+      graft.ops.Sampling.prioritySample(
+          s.read.parquet(p(dir, "documents")),
+          col("n_chars"), k = 200)
+        .orderBy(col("rn"))),
+
+    "q70_mad_outliers" -> ((s, dir) =>
+      // robust per-source outlier audit: percentile_disc median + MAD
+      // of n_chars, strict |x-med| > 3*MAD count — integer-exact
+      // throughout (outlier_ppm by integer DIV)
+      graft.ops.Quantiles.madOutliers(
+          s.read.parquet(p(dir, "documents")), "n_chars", "source")
+        .orderBy(col("source"))),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -1145,6 +1162,23 @@ object SparkEntry {
       graft.ops.Profile.columns(
           s.read.parquet(p(dir, "documents")), kmvK = 8192)
         .orderBy(col("column"))),
+
+    "x29_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup pairs (rows-only: k-means bucketing is approximate
+      // by contract; exactness is spec-asserted on planted clusters).
+      // Same planted-copy scheme as x20: exact copies of the 10
+      // smallest vec_ids at id+1000000 — cluster bucketing must put
+      // each copy with its original (identical vectors share a
+      // nearest centroid) and report exactly those pairs at cos 1.0.
+      val emb = s.read.parquet(p(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val dim = embDim(s, dir)
+      val planted = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.semanticDedup(emb.unionByName(planted), dim,
+          nClusters = 8, threshold = 0.99)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     "x28_dd_quantiles" -> ((s, dir) => {
       // DDSketch-style log-bucket quantile sketch per source, oracled
@@ -2453,6 +2487,52 @@ object SparkEntry {
         |    (vocab_a + vocab_b - coalesce(n_inter, 0))::DOUBLE, 6) AS jaccard
         |FROM pairs LEFT JOIN inter USING (source_a, source_b)
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // same md5 uniform in both engines; the single ln rounds to 9
+    // decimals BEFORE the top-k so the selection boundary agrees
+    "q69_priority_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars::DOUBLE AS weight,
+        |    round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |      + 1)::DOUBLE / 4294967296.0) / n_chars::DOUBLE, 9) AS priority
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, weight, priority,
+        |  row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+        |FROM b QUALIFY rn <= 200 ORDER BY rn""".stripMargin,
+
+    // integer-exact end to end: percentile_disc medians via the q66
+    // ceil-rank histogram walk, outlier_ppm by integer DIV
+    "q70_mad_outliers" ->
+      """WITH v AS (SELECT source, n_chars::BIGINT AS v FROM documents
+        |           WHERE n_chars IS NOT NULL),
+        |h AS (SELECT source, v, count(*)::BIGINT AS c FROM v GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, v,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY source)::BIGINT AS n
+        |  FROM h),
+        |med AS (
+        |  SELECT source, min(v) AS median FROM cum
+        |  WHERE cum >= (500 * n + 999) // 1000 GROUP BY 1),
+        |d AS (
+        |  SELECT v.source, abs(v.v - med.median)::BIGINT AS dv
+        |  FROM v JOIN med USING (source)),
+        |dh AS (SELECT source, dv, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+        |dcum AS (
+        |  SELECT source, dv,
+        |    sum(c) OVER (PARTITION BY source ORDER BY dv)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY source)::BIGINT AS n
+        |  FROM dh),
+        |mad AS (
+        |  SELECT source, min(dv) AS mad FROM dcum
+        |  WHERE cum >= (500 * n + 999) // 1000 GROUP BY 1)
+        |SELECT v.source, median, mad, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN abs(v.v - median) > 3 * mad THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_outliers,
+        |  ((sum(CASE WHEN abs(v.v - median) > 3 * mad THEN 1 ELSE 0 END)
+        |    * 1000000) // count(*))::BIGINT AS outlier_ppm
+        |FROM v JOIN med USING (source) JOIN mad USING (source)
+        |GROUP BY 1, 2, 3 ORDER BY source""".stripMargin,
 
     // the fit sums run over the same deterministic top-1000 head in
     // both engines (count desc, word asc tiebreak); round(4) absorbs

@@ -127,4 +127,48 @@ object Quantiles {
     }
     Double.NaN // unreachable: cum reaches n >= rank
   }
+
+  /** Robust per-slice outlier audit: median + MAD (median absolute
+    * deviation) of an integer metric, and the count of rows whose
+    * |x - median| exceeds `c` * MAD — the heavy-tail-safe sibling of
+    * a mean/stddev z-score (one whale document cannot move either
+    * statistic). percentile_disc medians via [[exactIntQuantiles]],
+    * so every statistic is an actual data value and the whole result
+    * is integer-exact (cross-engine hash-safe; the only arithmetic is
+    * subtraction, abs, and integer comparison — `outlier_ppm` uses
+    * integer DIV, no float division anywhere).
+    *
+    * Scale shape: three corpus passes, inherent to exact MAD — the
+    * median must exist before deviations can (pass 1 histogram,
+    * pass 2 deviation histogram, pass 3 outlier count); each is one
+    * hash aggregation, and both cumulative walks are domain-sized.
+    * The per-slice medians table is slice-bounded and broadcast into
+    * the deviation and count passes. MAD = 0 (>= half the slice sits
+    * at the median) makes every x != median an outlier under the
+    * strict > rule — intentional: a degenerate slice SHOULD light up.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, sliceCol: String,
+                  c: Int = 3): DataFrame = {
+    require(c >= 1, "c >= 1")
+    val base = df.select(col(sliceCol), col(valueCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+    val med = exactIntQuantiles(base, "__v", Seq(500), keys = Seq(sliceCol))
+      .select(col(sliceCol), col("value").as("median"))
+    val dev = base.join(broadcast(med), Seq(sliceCol))
+      .withColumn("__d", abs(col("__v") - col("median")))
+    val mad = exactIntQuantiles(
+        dev.select(col(sliceCol), col("__d")), "__d", Seq(500),
+        keys = Seq(sliceCol))
+      .select(col(sliceCol), col("value").as("mad"))
+    val stats = med.join(mad, Seq(sliceCol))
+    base.join(broadcast(stats), Seq(sliceCol))
+      .groupBy(col(sliceCol), col("median"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("__v") - col("median")) > lit(c.toLong) * col("mad"),
+          1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_ppm",
+        expr("CAST((n_outliers * 1000000) DIV n AS BIGINT)"))
+      .select(col(sliceCol), col("median"), col("mad"), col("n"),
+        col("n_outliers"), col("outlier_ppm"))
+  }
 }

@@ -107,4 +107,42 @@ object Sampling {
         (expr(s"pos * ${bands.toLong} DIV __n") + 1L).cast("int"))
       .drop("__n")
   }
+
+  /** One-pass WEIGHTED sampling without replacement (Efraimidis-
+    * Spirakis A-ES): every row draws a deterministic uniform
+    * u in (0, 1] from the md5 of its id and scores
+    * priority = ln(u) / w — the top `k` priorities ARE a weighted
+    * sample without replacement (a row with twice the weight is
+    * exactly twice as likely to make the cut, marginally). The
+    * classic use: realize a quality-weighted or DSIR-weighted
+    * training subset in one pass, no per-stratum quotas needed.
+    *
+    * Deterministic and engine-portable: u = (int(md5[0:8]) + 1) /
+    * 2^32 reproduces bit-for-bit in any engine with md5 (same
+    * contract as [[detRank]]); the only transcendental is one ln,
+    * rounded to 9 decimals BEFORE selection so the top-k boundary
+    * cannot disagree across libms (id breaks exact ties).
+    *
+    * Scale shape: map-side score + `orderBy.limit` = TakeOrdered
+    * (per-partition top-k, driver merge of k rows) — no shuffle, no
+    * window over the corpus; the rank window runs over the k
+    * survivors only. Rows with w <= 0 are excluded by definition
+    * (A-ES is defined over positive weights).
+    */
+  def prioritySample(df: DataFrame, weightCol: Column, k: Int,
+                     idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = conv(substring(
+      md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
+    // filter BEFORE the division — ANSI mode raises on w = 0
+    df.select(col(idCol), weightCol.cast("double").as("weight"))
+      .filter(col("weight") > 0.0)
+      .withColumn("priority", round(log(u) / col("weight"), 9))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("priority").desc, col(idCol))))
+  }
 }

@@ -473,4 +473,72 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("qid"), col("id"), col("sim"), col("rn"))
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate PAIRS via
+    * k-means cluster bucketing — the data-adaptive sibling of
+    * [[embeddingNearDups]]'s random-hyperplane banding. Train a
+    * deterministic codebook ([[trainIvf]]: hash-ordered sample, never
+    * a full-corpus pass), assign every vector to its nearest centroid
+    * (ONE native [[graft.functions.IvfProbes]] loop per row), then
+    * self-join WITHIN clusters only and verify candidates by exact
+    * cosine >= threshold (native [[graft.functions.CosineSim]],
+    * rounded to 4 before the threshold so the pair set reproduces
+    * across libms).
+    *
+    * Versus RP banding: buckets follow the corpus's own density, so
+    * near-dups that straddle a random hyperplane (the banding's only
+    * miss mode) still meet — the miss mode here is a pair split
+    * across a centroid boundary, which `bands` independent RP bands
+    * mitigate and this operator deliberately trades away for
+    * candidate volume that tracks cluster occupancy. Run both when
+    * recall matters; they share the verify kernel.
+    *
+    * Scale contract (identical to minhashLsh/embeddingNearDups):
+    * the per-cluster self-join is the only corpus-squared risk, so
+    * clusters above `maxCluster` members are excluded from pairing —
+    * never silently: [[semanticOversizedClusters]] enumerates them
+    * under the same codebook. Verify + threshold run BEFORE the pair
+    * dedup, so the dedup shuffle moves (id, id, int, double) rows,
+    * not two dim-long vectors. The codebook is a plan literal
+    * (broadcast by construction).
+    */
+  def semanticDedup(embeddings: DataFrame, dim: Int, nClusters: Int = 16,
+                    threshold: Double = 0.95, iters: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    maxCluster: Long = 1L << 20,
+                    sampleCap: Int = 100000): DataFrame = {
+    val codebook = trainIvf(embeddings, dim, nClusters, iters, idCol, vecCol, sampleCap)
+    val assigned = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cluster", nearestCentroid(col("v"), codebook))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    val capped = assigned
+      .withColumn("__cn", count(lit(1)).over(w))
+      .filter(col("__cn") <= maxCluster)
+      .drop("__cn")
+    val a = capped.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = capped.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(GraftFunctions.cosineSim(col("v_a"), col("v_b")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cluster"), col("cos"))
+  }
+
+  /** Audit companion of [[semanticDedup]]: clusters larger than
+    * maxCluster under the SAME deterministic codebook — exactly the
+    * memberships the pairing excludes.
+    */
+  def semanticOversizedClusters(embeddings: DataFrame, dim: Int,
+                                nClusters: Int = 16, iters: Int = 2,
+                                idCol: String = "vec_id", vecCol: String = "embedding",
+                                maxCluster: Long = 1L << 20,
+                                sampleCap: Int = 100000): DataFrame = {
+    val codebook = trainIvf(embeddings, dim, nClusters, iters, idCol, vecCol, sampleCap)
+    embeddings
+      .select(nearestCentroid(col(vecCol), codebook).as("cluster"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxCluster)
+  }
 }

@@ -225,6 +225,40 @@ class DedupSpec extends AnyFunSuite {
     assert(audited.collect().forall(_.getLong(2) == 40L))
   }
 
+  test("semanticDedup: planted copies pair at cos 1.0, noise stays unpaired; deterministic; cap audits") {
+    import spark.implicits._
+    val dim = 16
+    // deterministic i.i.d. noise (pairwise cosine far below 0.99) +
+    // exact copies of ids 0..4 planted at 1000+i — identical vectors
+    // share a nearest centroid under ANY codebook, so cluster
+    // bucketing must reunite every copy with its original
+    val noise = (0L until 60L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val planted = (0L until 5L).map(i => (1000L + i, noise(i.toInt)._2))
+    val emb = (noise ++ planted).toDF("vec_id", "embedding")
+    def run() = Similarity.semanticDedup(emb, dim, nClusters = 4,
+      threshold = 0.99, sampleCap = 1000).collect()
+    val pairs = run()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      (0L until 5L).map(i => (i, 1000L + i)).toSet,
+      "exactly the planted (original, copy) pairs")
+    assert(pairs.forall(_.getDouble(3) == 1.0))
+    // deterministic end to end (training sample, codebook, pairing)
+    val again = run()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sortBy(p => (p._1, p._2))
+      .sameElements(again.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sortBy(p => (p._1, p._2))))
+    // flood cap: identical vectors all land in one cluster; the cap
+    // excludes them and the audit companion reports exactly that cluster
+    val flood = (0L until 40L).map(i => (i, Seq.fill(dim)(1.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.semanticDedup(flood, dim, nClusters = 2,
+      threshold = 0.99, maxCluster = 10, sampleCap = 1000).count() == 0L)
+    val audited = Similarity.semanticOversizedClusters(flood, dim,
+      nClusters = 2, maxCluster = 10, sampleCap = 1000).collect()
+    assert(audited.length == 1 && audited.head.getLong(1) == 40L)
+  }
+
   test("multi-probe ANN recall@10 >= 0.9 vs brute-force ground truth (planted clusters)") {
     val dim = 64
     val emb = clustered(nClusters = 40, perCluster = 12, dim = dim, noise = 0.08)

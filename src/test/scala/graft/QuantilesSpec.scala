@@ -79,4 +79,18 @@ class QuantilesSpec extends AnyFunSuite {
         .getMap[Int, Long](0).toMap
     assert(sketchAt(1) == sketchAt(13))
   }
+
+  test("madOutliers: hand-computed median/MAD/outlier counts, MAD=0 degenerate slice, integer ppm") {
+    import spark.implicits._
+    val rows =
+      Seq(1L, 2L, 3L, 4L, 100L).map(("a", _)) ++   // med 3, devs {0,1,1,2,97} -> mad 1
+      Seq(5L, 5L, 5L, 5L).map(("b", _)) ++         // med 5, mad 0, no outliers
+      Seq(5L, 5L, 5L, 9L).map(("c", _))            // med 5, mad 0, 9 is an outlier
+    val out = Quantiles.madOutliers(rows.toDF("source", "v"), "v", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("a") == (3L, 1L, 5L, 1L, 200000L), "only 100 exceeds med±3*MAD")
+    assert(out("b") == (5L, 0L, 4L, 0L, 0L), "constant slice: MAD 0, zero outliers")
+    assert(out("c") == (5L, 0L, 4L, 1L, 250000L), "MAD=0 slice flags ANY deviation")
+  }
 }

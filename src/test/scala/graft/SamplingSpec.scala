@@ -101,4 +101,38 @@ class SamplingSpec extends AnyFunSuite {
       .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
     assert(p1 == p7)
   }
+
+  test("prioritySample == the brute-force A-ES formula; nonpositive weights excluded; weight dominance") {
+    import spark.implicits._
+    val docs = (1 to 500).map(i =>
+      (s"d$i", if (i % 7 == 0) 0L else (i % 20 + 1).toLong)).toDF("doc_id", "w")
+    val out = Sampling.prioritySample(docs, col("w"), k = 50).collect()
+    assert(out.length == 50)
+    assert(out.map(_.getInt(3)).toSeq == (1 to 50))
+    // brute-force twin of the exact formula (md5 head -> u -> ln(u)/w)
+    def pr(id: String, w: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.getBytes("UTF-8")).take(4)
+        .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      val u = (h + 1).toDouble / 4294967296.0
+      math.round(math.log(u) / w * 1e9) / 1e9
+    }
+    val expect = (1 to 500).map(i => (s"d$i", (i % 20 + 1).toLong))
+      .filter { case (id, _) => id.drop(1).toInt % 7 != 0 }
+      .map { case (id, w) => (id, pr(id, w)) }
+      .sortBy { case (id, p) => (-p, id) }
+      .take(50)
+    assert(out.map(r => (r.getString(0), r.getDouble(2))).toSeq == expect,
+      "Spark top-k == the brute-force A-ES ranking, priorities bit-equal")
+    // no excluded-weight row survives
+    assert(out.forall(_.getDouble(1) > 0.0))
+    // dominance: weight 10000 vs 500 weight-1 rows -> the heavy row is
+    // expected in any top-50 with overwhelming probability (its
+    // inclusion probability is ~1 - (1-10000/10500)^50); deterministic
+    // here because the hash draw is fixed
+    val skewed = (1 to 500).map(i => (s"s$i", 1L)) :+ ("whale", 10000L)
+    val top = Sampling.prioritySample(skewed.toDF("doc_id", "w"), col("w"), k = 50)
+      .collect().map(_.getString(0)).toSet
+    assert(top.contains("whale"))
+  }
 }
