@@ -1163,6 +1163,17 @@ object SparkEntry {
           s.read.parquet(p(dir, "documents")), kmvK = 8192)
         .orderBy(col("column"))),
 
+    "x30_bpe_merges" -> ((s, dir) => {
+      // BPE merge training (rows-only: the merge loop is a driver-side
+      // kernel over the capped word-type head; the sequence law is
+      // BpeSpec-asserted on the Sennrich worked example). ONE corpus
+      // aggregation (word counts), everything else model-sized.
+      graft.ops.Bpe.trainBpe(
+          s.read.parquet(p(dir, "documents")),
+          merges = 50, vocabCap = 5000, minPair = 2L)
+        .orderBy(col("rank"))
+    }),
+
     "x29_semantic_dedup" -> ((s, dir) => {
       // SemDeDup pairs (rows-only: k-means bucketing is approximate
       // by contract; exactness is spec-asserted on planted clusters).
