@@ -734,6 +734,29 @@ object SparkEntry {
           s.read.parquet(p(dir, "documents")), "n_chars", "source")
         .orderBy(col("source"))),
 
+    "q71_doremi_weights" -> ((s, dir) => {
+      // DoReMi exponentiated-gradient mixture step: slices the
+      // reference LM finds surprising get upweighted; reference =
+      // the q46 slice (doc_id % 3 == 0), eta = 2
+      val docs = s.read.parquet(p(dir, "documents"))
+      graft.ops.Mixture.doremiWeights(docs,
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0), eta = 2.0)
+        .orderBy(col("source"))
+    }),
+
+    "q72_calibration_curve" -> ((s, dir) => {
+      // reliability diagram of the q58 NB quality classifier: exact
+      // decile bands of log_odds vs observed positive rate
+      val docs = s.read.parquet(p(dir, "documents"))
+      val train = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .withColumn("label", col("n_chars") >= 300)
+      val scored = graft.ops.Classifier.naiveBayesScore(docs, train, "label")
+        .join(docs.select(col("doc_id"), (col("n_chars") >= 300).as("y")),
+          Seq("doc_id"))
+      graft.ops.Classifier.calibrationCurve(scored, "y", bands = 10)
+        .orderBy(col("band"))
+    }),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -2498,6 +2521,80 @@ object SparkEntry {
         |    (vocab_a + vocab_b - coalesce(n_inter, 0))::DOUBLE, 6) AS jaccard
         |FROM pairs LEFT JOIN inter USING (source_a, source_b)
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // per-doc cross-entropies arrive rounded(4) (the q46 contract);
+    // slice means round(6) BEFORE the exponential, weights round(6)
+    "q71_doremi_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |refc AS (
+        |  SELECT word, count(*) AS c FROM tok WHERE doc_id % 3 = 0 GROUP BY 1),
+        |consts AS (
+        |  SELECT coalesce(sum(c), 0) + count(*) AS denom FROM refc),
+        |ce AS (
+        |  SELECT t.doc_id,
+        |    round(avg(-ln((coalesce(r.c, 0) + 1) /
+        |      greatest(consts.denom, 1)::DOUBLE)), 4) AS cross_entropy
+        |  FROM tok t LEFT JOIN refc r ON t.word = r.word, consts
+        |  GROUP BY t.doc_id),
+        |byslice AS (
+        |  SELECT d.source, count(*)::BIGINT AS n_docs,
+        |    round(avg(ce.cross_entropy), 6) AS ce
+        |  FROM documents d JOIN ce USING (doc_id) GROUP BY 1),
+        |base AS (
+        |  SELECT round(avg(ce.cross_entropy), 6) AS ce0
+        |  FROM documents d JOIN ce USING (doc_id)),
+        |ex AS (
+        |  SELECT source, n_docs, ce,
+        |    round(greatest(ce - base.ce0, 0.0), 6) AS excess
+        |  FROM byslice, base)
+        |SELECT source, n_docs, ce, excess,
+        |  round(exp(2.0 * excess) / sum(exp(2.0 * excess)) OVER (), 6) AS weight
+        |FROM ex ORDER BY source""".stripMargin,
+
+    // the q58 scorer verbatim, then pos = rank-1 over (log_odds,
+    // doc_id), band = pos*10 DIV n + 1 (the rankBands rule), and the
+    // per-band means; frac_pos is one integer-operand division
+    "q72_calibration_curve" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |lab AS (
+        |  SELECT doc_id, n_chars >= 300 AS y FROM documents WHERE doc_id % 3 = 0),
+        |m AS (
+        |  SELECT word,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN y THEN 0 ELSE 1 END) AS cn
+        |  FROM tok JOIN lab USING (doc_id) GROUP BY 1),
+        |tot AS (
+        |  SELECT coalesce(sum(cp), 0) AS tp, coalesce(sum(cn), 0) AS tn,
+        |         greatest(count(*), 1) AS v
+        |  FROM m),
+        |pri AS (
+        |  SELECT greatest(sum(CASE WHEN y THEN 1 ELSE 0 END), 1) AS np,
+        |         greatest(sum(CASE WHEN y THEN 0 ELSE 1 END), 1) AS nn
+        |  FROM lab),
+        |sc AS (
+        |  SELECT t.doc_id, round(ln(pri.np::DOUBLE / pri.nn::DOUBLE) +
+        |      sum(ln((coalesce(m.cp, 0) + 1)::DOUBLE / (tot.tp + tot.v)::DOUBLE)
+        |        - ln((coalesce(m.cn, 0) + 1)::DOUBLE / (tot.tn + tot.v)::DOUBLE)),
+        |      4) AS log_odds
+        |  FROM tok t LEFT JOIN m USING (word), tot, pri
+        |  GROUP BY t.doc_id, pri.np, pri.nn, tot.tp, tot.tn, tot.v),
+        |ranked AS (
+        |  SELECT s.doc_id, s.log_odds, d.n_chars >= 300 AS y,
+        |    (row_number() OVER (ORDER BY s.log_odds, s.doc_id) - 1)::BIGINT AS pos,
+        |    count(*) OVER () AS n
+        |  FROM sc s JOIN documents d USING (doc_id))
+        |SELECT (pos * 10 // n + 1)::INT AS band, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |  round(avg(1.0 / (1.0 + exp(-log_odds))), 6) AS mean_prob,
+        |  round(sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
+        |    AS frac_pos
+        |FROM ranked GROUP BY 1 ORDER BY band""".stripMargin,
 
     // same md5 uniform in both engines; the single ln rounds to 9
     // decimals BEFORE the top-k so the selection boundary agrees

@@ -73,4 +73,36 @@ object Classifier {
           + sum(col("__lo")), 4).as("log_odds"))
       .withColumn("pred", col("log_odds") > 0.0)
   }
+
+  /** Reliability diagram of a log-odds scorer — "when the classifier
+    * says 80%, is it right 80% of the time?": exact equal-count score
+    * bands (via [[Sampling.rankBands]] — range-partitioned global
+    * rank, never a one-task ntile), then per band the mean predicted
+    * probability sigmoid(score) against the observed positive rate.
+    * `scored` must carry (idCol, scoreCol, labelCol).
+    *
+    * Cross-engine determinism: scores arrive rounded(4) (the
+    * [[naiveBayesScore]] contract) so banding by (score, id) agrees
+    * exactly; frac_pos is one integer division; mean_prob rounds(6)
+    * over sigmoids of agreed values — summation order is the only
+    * drift and it lives far below the round.
+    */
+  def calibrationCurve(scored: DataFrame, labelCol: String,
+                       bands: Int = 10,
+                       scoreCol: String = "log_odds",
+                       idCol: String = "doc_id"): DataFrame = {
+    val banded = Sampling.rankBands(
+      scored.select(col(idCol), col(scoreCol),
+        col(labelCol).cast("boolean").as("__y")),
+      Seq(col(scoreCol), col(idCol)), bands)
+    banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        round(avg(lit(1.0) / (lit(1.0) + exp(-col(scoreCol)))), 6)
+          .as("mean_prob"))
+      .withColumn("frac_pos",
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6))
+      .select(col("band"), col("n"), col("n_pos"), col("mean_prob"),
+        col("frac_pos"))
+  }
 }

@@ -60,4 +60,47 @@ object Mixture {
           .otherwise(lit(0.0)))
       .withColumn("epochs", ceil(col("rate")).cast("long"))
   }
+
+  /** DoReMi-style mixture REWEIGHTING (Xie et al. 2023, the
+    * exponentiated-gradient step, in its one-shot in-engine form):
+    * slices whose documents the reference language model finds
+    * surprising (high cross-entropy = high "excess loss") get
+    * upweighted, so the next mixture round spends more budget where
+    * the current model underfits.
+    *
+    *   ce_s     = mean over slice s of per-doc [[LmScore.unigramCrossEntropy]]
+    *   excess_s = max(0, ce_s - ce_corpus)        (corpus = doc-mean baseline)
+    *   w_s      = exp(eta * excess_s) / sum_t exp(eta * excess_t)
+    *
+    * Feed the resulting weights straight into [[tokenBudgetPlan]] for
+    * realization. Determinism contract: the per-doc scores are already
+    * rounded(4) by LmScore — identical values in any engine — so the
+    * only cross-engine drift is summation order in the means, absorbed
+    * by round(6) on ce/excess BEFORE the exponential (exp of an
+    * already-agreed value) and round(6) on the final weight.
+    *
+    * Scale shape: LmScore's model agg + token join, then ONE doc-keyed
+    * slice aggregation; softmax runs over the slice-count-sized model
+    * (single-partition window over slices — bounded by construction).
+    */
+  def doremiWeights(docs: DataFrame, ref: DataFrame, eta: Double = 1.0,
+                    sliceCol: String = "source",
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(eta > 0.0, "eta must be positive")
+    val ce = LmScore.unigramCrossEntropy(docs, ref, idCol, textCol)
+    val byDoc = docs.select(col(idCol), col(sliceCol)).join(ce, Seq(idCol))
+    val slices = byDoc.groupBy(col(sliceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("cross_entropy")), 6).as("ce"))
+    val base = byDoc.agg(round(avg(col("cross_entropy")), 6).as("__ce0"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    slices.crossJoin(broadcast(base))
+      .withColumn("excess",
+        round(greatest(col("ce") - col("__ce0"), lit(0.0)), 6))
+      .withColumn("__e", exp(lit(eta) * col("excess")))
+      .withColumn("weight", round(col("__e") / sum(col("__e")).over(w), 6))
+      .select(col(sliceCol), col("n_docs"), col("ce"), col("excess"),
+        col("weight"))
+  }
 }

@@ -44,4 +44,20 @@ class ClassifierSpec extends AnyFunSuite {
     val deg = Classifier.naiveBayesScore(docs, onlyPos, "label").collect()
     assert(deg.length == 3 && deg.forall(r => !r.isNullAt(2)))
   }
+
+  test("calibrationCurve: hand-computed two-band diagram, exact counts, monotone mean_prob") {
+    import spark.implicits._
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val scored = Seq(
+      (1L, -2.0, false), (2L, -1.0, false), (3L, 1.0, true), (4L, 2.0, true)
+    ).toDF("doc_id", "log_odds", "y")
+    val out = Classifier.calibrationCurve(scored, "y", bands = 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1) == (2L, 0L, r6((sig(-2.0) + sig(-1.0)) / 2), 0.0))
+    assert(out(2) == (2L, 2L, r6((sig(1.0) + sig(2.0)) / 2), 1.0))
+    // a perfectly separable scorer is perfectly calibrated at the ends
+    assert(out(1)._4 <= out(2)._4 && out(1)._3 < out(2)._3)
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.Mixture
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class MixtureSpec extends AnyFunSuite {
@@ -38,5 +39,28 @@ class MixtureSpec extends AnyFunSuite {
     // d: in design, not in corpus -> avail 0, rate clamps to 0
     assert(plan("d") == (0.1, 0L, 1L, 0.0, 0L))
     assert(plan.size == 4, "every slice from either side appears")
+  }
+
+  test("doremiWeights: uniform when slices match reference, surprising slice upweighted, eta monotone, sums to 1") {
+    import spark.implicits._
+    // s1/s2 are reference-like; s3 is pure out-of-vocabulary noise
+    val docs = Seq(
+      ("s1", 1L, "the cat sat"), ("s1", 2L, "the dog sat"),
+      ("s2", 3L, "the cat sat"), ("s2", 4L, "the dog sat"),
+      ("s3", 5L, "zz qq vv"), ("s3", 6L, "qq vv zz")
+    ).toDF("source", "doc_id", "text")
+    val ref = docs.filter(col("source") =!= "s3")
+    def run(eta: Double) = graft.ops.Mixture.doremiWeights(docs, ref, eta)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val w = run(1.0)
+    assert(math.abs(w.values.sum - 1.0) < 1e-5, "weights sum to 1")
+    assert(w("s1") == w("s2"), "identical slices weigh the same")
+    assert(w("s3") > w("s1"), "the OOV slice is the surprising one")
+    // eta sharpens the tilt toward the high-excess slice
+    assert(run(4.0)("s3") > w("s3"))
+    // all slices reference-like -> zero excess everywhere -> uniform
+    val u = graft.ops.Mixture.doremiWeights(docs.filter(col("source") =!= "s3"),
+      ref, eta = 1.0).collect().map(_.getDouble(4))
+    assert(u.forall(x => math.abs(x - 0.5) < 1e-5))
   }
 }
