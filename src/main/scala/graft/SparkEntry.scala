@@ -734,6 +734,23 @@ object SparkEntry {
           s.read.parquet(p(dir, "documents")), "n_chars", "source")
         .orderBy(col("source"))),
 
+    "q73_pagerank" -> ((s, dir) => {
+      // link-graph authority over a deterministic synthetic web: docs
+      // with doc_id % 7 == 0 emit no links (dangling hubs), the rest
+      // link to (id+17) % N and (3*id+5) % N; 3 power iterations,
+      // per-round round(10) — the fixed-iteration production form
+      val docs = s.read.parquet(p(dir, "documents")).select(col("doc_id"))
+      val n = docs.count()
+      val linkers = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val edges = linkers
+        .select(col("doc_id").as("src"),
+          pmod(col("doc_id") + 17L, lit(n)).as("dst"))
+        .unionByName(linkers.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 3L + 5L, lit(n)).as("dst")))
+      graft.ops.Graph.pageRank(edges, iters = 3)
+        .orderBy(col("node"))
+    }),
+
     "q71_doremi_weights" -> ((s, dir) => {
       // DoReMi exponentiated-gradient mixture step: slices the
       // reference LM finds surprising get upweighted; reference =
@@ -2522,6 +2539,50 @@ object SparkEntry {
         |FROM pairs LEFT JOIN inter USING (source_a, source_b)
         |ORDER BY source_a, source_b""".stripMargin,
 
+    // three unrolled power iterations, per-round round(10) re-agrees
+    // the engines before float drift can compound
+    "q73_pagerank" ->
+      """WITH nc AS (SELECT count(*)::BIGINT AS nc FROM documents),
+        |e AS (
+        |  SELECT doc_id AS src, (doc_id + 17) % nc.nc AS dst
+        |  FROM documents, nc WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 3 + 5) % nc.nc
+        |  FROM documents, nc WHERE doc_id % 7 <> 0),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+        |nn AS (SELECT count(*)::DOUBLE AS nn FROM nodes),
+        |r0 AS (SELECT node, round(1.0 / nn.nn, 10) AS r FROM nodes, nn),
+        |d0 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0
+        |       LEFT JOIN od ON r0.node = od.src WHERE outdeg IS NULL),
+        |c0 AS (SELECT e.dst AS node, sum(r0.r / od.outdeg) AS cin
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT nodes.node, round(0.15 / nn.nn +
+        |         0.85 * (coalesce(c0.cin, 0) + d0.dm / nn.nn), 10) AS r
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d0
+        |       LEFT JOIN c0 ON nodes.node = c0.node),
+        |d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1
+        |       LEFT JOIN od ON r1.node = od.src WHERE outdeg IS NULL),
+        |c1 AS (SELECT e.dst AS node, sum(r1.r / od.outdeg) AS cin
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT nodes.node, round(0.15 / nn.nn +
+        |         0.85 * (coalesce(c1.cin, 0) + d1.dm / nn.nn), 10) AS r
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d1
+        |       LEFT JOIN c1 ON nodes.node = c1.node),
+        |d2 AS (SELECT coalesce(sum(r), 0) AS dm FROM r2
+        |       LEFT JOIN od ON r2.node = od.src WHERE outdeg IS NULL),
+        |c2 AS (SELECT e.dst AS node, sum(r2.r / od.outdeg) AS cin
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src
+        |       GROUP BY 1),
+        |r3 AS (SELECT nodes.node, round(0.15 / nn.nn +
+        |         0.85 * (coalesce(c2.cin, 0) + d2.dm / nn.nn), 10) AS r
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d2
+        |       LEFT JOIN c2 ON nodes.node = c2.node)
+        |SELECT node, round(r, 8) AS rank FROM r3 ORDER BY node""".stripMargin,
+
     // per-doc cross-entropies arrive rounded(4) (the q46 contract);
     // slice means round(6) BEFORE the exponential, weights round(6)
     "q71_doremi_weights" ->
@@ -2666,7 +2727,9 @@ object SparkEntry {
         |  round(CASE WHEN k * sxx - sx * sx <> 0
         |    THEN (k * sxy - sx * sy) / (k * sxx - sx * sx)
         |    ELSE 0 END, 4) AS zipf_slope,
-        |  round(ln(vocab::DOUBLE) / ln(n_tokens::DOUBLE), 4) AS heaps_beta
+        |  round(CASE WHEN n_tokens > 1
+        |    THEN ln(vocab::DOUBLE) / ln(n_tokens::DOUBLE)
+        |    ELSE 0 END, 4) AS heaps_beta
         |FROM tot CROSS JOIN fit""".stripMargin,
 
     // the bucket hash is the md5-hex head parsed as an integer —

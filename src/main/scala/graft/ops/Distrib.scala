@@ -203,7 +203,11 @@ object Distrib {
             (col("__k") * col("__sxy") - col("__sx") * col("__sy")) /
               (col("__k") * col("__sxx") - col("__sx") * col("__sx")))
             .otherwise(lit(0.0)), 4).as("zipf_slope"),
-        round(log(col("vocab").cast("double")) /
-          log(col("n_tokens").cast("double")), 4).as("heaps_beta"))
+        // n_tokens = 1 would divide by ln(1) = 0 — ANSI raises; a
+        // one-token corpus has no Heaps exponent, report 0
+        round(when(col("n_tokens") > 1L,
+            log(col("vocab").cast("double")) /
+              log(col("n_tokens").cast("double")))
+          .otherwise(lit(0.0)), 4).as("heaps_beta"))
   }
 }

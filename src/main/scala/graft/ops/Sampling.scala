@@ -136,9 +136,11 @@ object Sampling {
       md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long")
     val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
-    // filter BEFORE the division — ANSI mode raises on w = 0
+    // filter BEFORE the division — ANSI mode raises on w = 0; null
+    // ids draw no uniform (and engines disagree on DESC-null order),
+    // so they are excluded with the nonpositive weights
     df.select(col(idCol), weightCol.cast("double").as("weight"))
-      .filter(col("weight") > 0.0)
+      .filter(col("weight") > 0.0 && col(idCol).isNotNull)
       .withColumn("priority", round(log(u) / col("weight"), 9))
       .orderBy(col("priority").desc, col(idCol))
       .limit(k)
