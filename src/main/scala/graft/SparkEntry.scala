@@ -774,6 +774,87 @@ object SparkEntry {
         .orderBy(col("band"))
     }),
 
+    "q74_c4_line_filter" -> ((s, dir) => {
+      // C4 line-level page cleaning over deterministically dirtied
+      // "lines" (the 10-token chunks): idx%5==2 lines get a curly-brace
+      // suffix (brace kill), else idx%3==0 a '.', else idx%7==1 a '?'
+      // (kept if >=5 words), else no terminal punct (kill); doc_id%11==0
+      // docs get a planted javascript line (line kill), doc_id%13==5 a
+      // lorem-ipsum line that PASSES line rules but kills the page
+      val lines = chunks10(s.read.parquet(p(dir, "documents")))
+        .select(col("doc_id"), col("idx"),
+          when(pmod(col("idx"), lit(5)) === 2, concat(col("chunk"), lit(" {x}.")))
+            .when(pmod(col("idx"), lit(3)) === 0, concat(col("chunk"), lit(".")))
+            .when(pmod(col("idx"), lit(7)) === 1, concat(col("chunk"), lit("?")))
+            .otherwise(col("chunk")).as("line"))
+      val mx = lines.groupBy(col("doc_id")).agg(max(col("idx")).as("__mx"))
+      val js = mx.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("doc_id"), (col("__mx") + 1).as("idx"),
+          lit("please enable javascript to view the dynamic content today.").as("line"))
+      val lorem = mx.filter(pmod(col("doc_id"), lit(13)) === 5)
+        .select(col("doc_id"), (col("__mx") + 2).as("idx"),
+          lit("lorem ipsum dolor sit amet consectetur adipiscing elit tempor incididunt.").as("line"))
+      graft.ops.LineRules.c4LineFilter(lines.unionByName(js).unionByName(lorem))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q75_blocklist_tag" -> ((s, dir) =>
+      // Aho-Corasick blocklist tagging; nested phrases ("scan" inside
+      // "table scan") must BOTH report, "foo bar" never occurs
+      graft.ops.Blocklist.tagMatches(
+          s.read.parquet(p(dir, "documents")), BlocklistPhrases)
+        .orderBy(col("doc_id"))),
+
+    "q76_hash_split" -> ((s, dir) =>
+      // deterministic 80/10/10 train/valid/test assignment — pure
+      // function of (doc_id, salt), map-side, engine-portable md5
+      graft.ops.Splits.hashSplit(s.read.parquet(p(dir, "documents")),
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id"))),
+
+    "q77_split_leakage" -> ((s, dir) => {
+      // the contamination bookend: every x04 near-dup pair annotated
+      // with both sides' q76 splits; leak = the pair straddles splits.
+      // Oracle reads the x04 dump (the x25/q43 __VERIFY_OUT__ pattern)
+      // and recomputes the same md5 ladder.
+      val docs = s.read.parquet(p(dir, "documents"))
+      val assign = graft.ops.Splits.hashSplit(docs,
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      val pairs = Dedup.minhashLsh(docs, threshold = 0.2)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      graft.ops.Splits.splitLeakage(pairs, assign)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q78_snapshot_diff" -> ((s, dir) => {
+      // incremental-refresh diff against a deterministic "previous
+      // snapshot": doc_id%17==3 absent from prev (added), %19==4 had
+      // old text (changed), prev-only ids doc_id+100000 for %23==1
+      // (removed), everything else unchanged
+      val docs = s.read.parquet(p(dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      val prevBase = docs.filter(pmod(col("doc_id"), lit(17)) =!= 3)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(19)) === 4, concat(col("text"), lit(" OLD")))
+            .otherwise(col("text")).as("text"))
+      val prevExtra = docs.filter(pmod(col("doc_id"), lit(23)) === 1)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      graft.ops.Snapshot.diff(docs, prevBase.unionByName(prevExtra))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q79_char_entropy" -> ((s, dir) => {
+      // character-entropy spam filter; doc_id%29==7 docs are replaced
+      // by a 6-char-alphabet template run -> entropy ~1.63 nats, the
+      // ONLY docs below the 2.0-nat threshold
+      val docs = s.read.parquet(p(dir, "documents"))
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(29)) === 7, repeat(lit("spark "), 40))
+            .otherwise(col("text")).as("text"))
+      graft.ops.TextAnalysis.charEntropy(docs)
+        .orderBy(col("doc_id"))
+    }),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -1355,6 +1436,15 @@ object SparkEntry {
     * runs of 10 joined by single spaces. Change it in one place or
     * three DuckDB oracles desynchronize.
     */
+  /** q75 blocklist: corpus-vocabulary phrases (so matches occur), with
+    * nesting ("scan" inside "table scan" — both must report) and one
+    * never-occurring probe. Shared verbatim by the Spark query and the
+    * DuckDB oracle's VALUES list.
+    */
+  private val BlocklistPhrases: Seq[String] = Seq(
+    "scan", "table scan", "key order sort", "hash join",
+    "merge sort", "slow query", "window", "foo bar")
+
   private def chunks10(docs: DataFrame): DataFrame = {
     val toks = filter(split(col("text"), "\\W+"), t => t =!= "")
     docs
@@ -2656,6 +2746,139 @@ object SparkEntry {
         |  round(sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
         |    AS frac_pos
         |FROM ranked GROUP BY 1 ORDER BY band""".stripMargin,
+
+    // C4 rules over the same chunk-and-dirty derivation; page verdict
+    // = n_kept >= 3 AND no lorem-ipsum line anywhere on the page
+    "q74_c4_line_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\W+'), x -> x <> '') AS toks
+        |  FROM documents
+        |  WHERE len(list_filter(string_split_regex(text, '\W+'), x -> x <> '')) > 0),
+        |c AS (
+        |  SELECT doc_id, u.i AS idx,
+        |         array_to_string(toks[u.i*10+1 : u.i*10+10], ' ') AS chunk
+        |  FROM t, LATERAL unnest(generate_series(0, (len(toks)-1)//10)) u(i)),
+        |d AS (
+        |  SELECT doc_id, idx,
+        |    CASE WHEN idx % 5 = 2 THEN chunk || ' {x}.'
+        |         WHEN idx % 3 = 0 THEN chunk || '.'
+        |         WHEN idx % 7 = 1 THEN chunk || '?'
+        |         ELSE chunk END AS line
+        |  FROM c),
+        |mx AS (SELECT doc_id, max(idx) AS m FROM d GROUP BY 1),
+        |pj AS (SELECT doc_id, m + 1 AS idx,
+        |         'please enable javascript to view the dynamic content today.' AS line
+        |       FROM mx WHERE doc_id % 11 = 0),
+        |pl AS (SELECT doc_id, m + 2 AS idx,
+        |         'lorem ipsum dolor sit amet consectetur adipiscing elit tempor incididunt.' AS line
+        |       FROM mx WHERE doc_id % 13 = 5),
+        |allr AS (SELECT * FROM d UNION ALL SELECT * FROM pj UNION ALL SELECT * FROM pl),
+        |f AS (
+        |  SELECT doc_id, idx, line,
+        |    (regexp_matches(line, '[.!?"]$')
+        |     AND len(list_filter(string_split_regex(line, '\W+'), x -> x <> '')) >= 5
+        |     AND NOT contains(lower(line), 'javascript')
+        |     AND NOT regexp_matches(line, '[{}]')) AS keep,
+        |    contains(lower(line), 'lorem ipsum') AS lorem
+        |  FROM allr)
+        |SELECT doc_id, count(*)::BIGINT AS n_lines,
+        |       count(*) FILTER (WHERE keep)::BIGINT AS n_kept,
+        |       coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE keep), '') AS kept_text,
+        |       (count(*) FILTER (WHERE keep) >= 3 AND NOT bool_or(lorem)) AS doc_kept
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // token-boundary containment is the Aho-Corasick match semantics:
+    // pad the token stream with spaces, probe ' phrase ' per phrase
+    "q75_blocklist_tag" ->
+      s"""WITH ph AS (SELECT * FROM (VALUES ${BlocklistPhrases
+            .map(ph => s"('$ph')").mkString(", ")}) p(phrase)),
+        |tk AS (
+        |  SELECT doc_id, ' ' || array_to_string(list_filter(
+        |    string_split_regex(lower(text), '\\W+'), x -> x <> ''), ' ') || ' ' AS s
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, phrase FROM tk, ph
+        |  WHERE contains(s, ' ' || phrase || ' ')),
+        |g AS (SELECT doc_id, list_sort(list(phrase)) AS ml FROM m GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(array_to_string(g.ml, ','), '') AS matched,
+        |  coalesce(len(g.ml), 0)::BIGINT AS n_matches,
+        |  g.ml IS NOT NULL AS blocked
+        |FROM documents d LEFT JOIN g USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // same md5-hex-head uniform as the Spark side (the q69/q64
+    // convention); ladder thresholds are the normalized cumulative
+    // weights, identical double literals in both engines
+    "q76_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train'
+        |       WHEN u < 0.9 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT
+        |          / 4294967296.0 AS u
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q77_split_leakage" ->
+      """WITH assign AS (
+        |  SELECT doc_id,
+        |    CASE WHEN u < 0.8 THEN 'train'
+        |         WHEN u < 0.9 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |          ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT
+        |            / 4294967296.0 AS u
+        |        FROM documents)),
+        |pr AS (SELECT id_a AS a, id_b AS b
+        |       FROM read_parquet('__VERIFY_OUT__/x04_minhash_lsh/*.parquet'))
+        |SELECT pr.a, pr.b, sa.split AS split_a, sb.split AS split_b,
+        |       sa.split <> sb.split AS leak
+        |FROM pr
+        |JOIN assign sa ON pr.a = sa.doc_id
+        |JOIN assign sb ON pr.b = sb.doc_id
+        |ORDER BY a, b""".stripMargin,
+
+    // md5-of-text compare, same bytes both engines (the q43 keeper
+    // convention); presence markers, not hash nullity, decide add/remove
+    "q78_snapshot_diff" ->
+      """WITH cur AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |prev AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 19 = 4 THEN text || ' OLD' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id % 23 = 1)
+        |SELECT coalesce(cur.doc_id, prev.doc_id) AS doc_id,
+        |  CASE WHEN prev.doc_id IS NULL THEN 'added'
+        |       WHEN cur.doc_id IS NULL THEN 'removed'
+        |       WHEN cur.h IS DISTINCT FROM prev.h THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // H = ln n - sum(c ln c)/n over per-char counts; round(6) absorbs
+    // libm ulps; the %29==7 template docs are the only low_entropy rows
+    "q79_char_entropy" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 29 = 7 THEN repeat('spark ', 40) ELSE text END AS t
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, substr(t, u.i, 1) AS ch
+        |  FROM d, LATERAL unnest(generate_series(1, length(t))) u(i)),
+        |cc AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2),
+        |e AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n,
+        |    round(ln(sum(c)::DOUBLE) - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)::DOUBLE, 6)
+        |      AS entropy
+        |  FROM cc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(e.n, 0)::BIGINT AS n,
+        |  coalesce(e.entropy, 0.0) AS entropy,
+        |  coalesce(e.entropy, 0.0) < 2.0 AS low_entropy
+        |FROM d LEFT JOIN e USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // same md5 uniform in both engines; the single ln rounds to 9
     // decimals BEFORE the top-k so the selection boundary agrees

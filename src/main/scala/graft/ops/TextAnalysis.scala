@@ -247,6 +247,41 @@ object TextAnalysis {
       " ?\n ?", "\n"),
       "\n{3,}", "\n\n"))
 
+  /** Per-document character-level Shannon entropy (nats) — the cheap
+    * low-entropy spam signal (keyboard mash, "aaaa…", template runs)
+    * CCNet/RefinedWeb-family filters apply before any model-based
+    * scoring. Relational form: explode characters by position
+    * (`substring` over a generated index — identical semantics in any
+    * engine, no HOF in the plan), one (doc, char) hash aggregation,
+    * then per-doc H = ln n − Σ c·ln c / n in a second doc-keyed agg —
+    * both shuffles doc-keyed, partial aggregation applies, per-doc
+    * state is the doc's own alphabet. round(6) absorbs libm ulps (the
+    * engine-wide double contract). Empty/NULL docs report entropy 0
+    * over 0 chars (flagged low — nothing there).
+    */
+  def charEntropy(docs: DataFrame, threshold: Double = 2.0): DataFrame = {
+    // sequence(1, 0) would DESCEND in Spark — guard empty/null text to
+    // a null array (posexplode of null emits no rows, matching DuckDB's
+    // empty generate_series)
+    val positions = when(length(col("text")) > 0,
+      sequence(lit(1), length(col("text"))))
+    val counted = docs
+      .select(col("doc_id"), col("text"), posexplode(positions))
+      .select(col("doc_id"), substring(col("text"), col("col"), lit(1)).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val ent = counted.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("__clc"))
+      .select(col("doc_id"), col("n"),
+        round(log(col("n").cast("double")) - col("__clc") / col("n").cast("double"), 6)
+          .as("entropy"))
+    docs.select(col("doc_id")).join(ent, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"))
+      .withColumn("low_entropy", col("entropy") < threshold)
+  }
+
   /** Rolling polynomial fingerprint (Rabin-Karp family) of the
     * normalized text — cheap locality-free doc identity; md5 variant in
     * [[Dedup.fingerprint]] for the SQL-oracle-friendly form.
