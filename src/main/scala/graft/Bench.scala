@@ -282,8 +282,15 @@ object Bench {
     // run at least 2 pairs; past that keep pairing only while the quiet
     // quota is unmet and time remains — a quiet window finishes in 5
     // pairs, a loaded one keeps sampling for a quiet one until budget
+    // zero quiet pairs at the budget → the whole sample is a loaded
+    // window and the headline falls back to an all-pairs median of
+    // junk; the box's contention windows are often minute-scale
+    // (BENCH/BASELINE.md), so doubling the sampling budget while
+    // NOTHING is quiet buys a real chance of catching the transition
+    // at the cost of sweep time that a loaded window wastes anyway
+    def pairDeadlineS: Long = if (quietCount == 0) pairBudgetS * 2L else pairBudgetS.toLong
     while (serversAlive && i < maxPairs &&
-           (i < 2 || (quietCount < minQuietPairs && elapsedS < pairBudgetS))) {
+           (i < 2 || (quietCount < minQuietPairs && elapsedS < pairDeadlineS))) {
       // a dead child must cost the remaining pairs, never the round:
       // report whatever pairs completed rather than crashing
       try {
@@ -368,9 +375,9 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     val head = Seq("x01_extract_spans", "x02_extract_docs")
     val ordered = head ++ SparkEntry.queries.keys.toSeq.filterNot(head.contains).sorted
-    // adaptive sweep budget: the whole bench must fit the driver's
-    // window even when a loaded host stretched the pairs — never less
-    // than 60s (x01/x02 always run), never more than 150s
+    // adaptive sweep budget: the whole bench must fit its window even
+    // when a loaded host stretched the pairs — never less than 60s
+    // (x01/x02 always run), never more than the ceiling below
     // 240s ceiling: the sweep now covers 100+ queries (~90s quiet at
     // sf0.1 after warm-up); the 600s envelope is self-imposed head-room,
     // not a driver limit — x01/x02 still always run via the 60s floor
