@@ -282,13 +282,15 @@ object Bench {
     // run at least 2 pairs; past that keep pairing only while the quiet
     // quota is unmet and time remains — a quiet window finishes in 5
     // pairs, a loaded one keeps sampling for a quiet one until budget
-    // zero quiet pairs at the budget → the whole sample is a loaded
-    // window and the headline falls back to an all-pairs median of
-    // junk; the box's contention windows are often minute-scale
-    // (BENCH/BASELINE.md), so doubling the sampling budget while
-    // NOTHING is quiet buys a real chance of catching the transition
-    // at the cost of sweep time that a loaded window wastes anyway
-    def pairDeadlineS: Long = if (quietCount == 0) pairBudgetS * 2L else pairBudgetS.toLong
+    // under 3 quiet pairs at the budget → the sample is loaded junk
+    // (all-pairs fallback) or a median hostage to 1-2 measurements;
+    // the box's contention windows are often minute-scale
+    // (BENCH/BASELINE.md), so the sampling budget doubles until at
+    // least a 3-pair quiet median exists — a transition caught late
+    // in the extension must still yield a usable median, not a single
+    // quiet pair — at the cost of sweep time that a loaded window
+    // wastes anyway
+    def pairDeadlineS: Long = if (quietCount >= 3) pairBudgetS.toLong else pairBudgetS * 2L
     while (serversAlive && i < maxPairs &&
            (i < 2 || (quietCount < minQuietPairs && elapsedS < pairDeadlineS))) {
       // a dead child must cost the remaining pairs, never the round:

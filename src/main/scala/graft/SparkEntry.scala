@@ -845,7 +845,7 @@ object SparkEntry {
 
     "q79_char_entropy" -> ((s, dir) => {
       // character-entropy spam filter; doc_id%29==7 docs are replaced
-      // by a 6-char-alphabet template run -> entropy ~1.63 nats, the
+      // by a 6-char-alphabet template run -> entropy ln 6 ~ 1.79 nats, the
       // ONLY docs below the 2.0-nat threshold
       val docs = s.read.parquet(p(dir, "documents"))
         .select(col("doc_id"),

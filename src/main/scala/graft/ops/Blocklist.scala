@@ -104,7 +104,7 @@ object Blocklist {
     val ac = AhoCorasick(phraseList)
     val matchUdf = udf((toks: Seq[String]) =>
       if (toks == null) Seq.empty[String] else ac.matches(toks))
-    val toks = filter(split(lower(col("text")), "\\W+"), t => t =!= "")
+    val toks = graft.functions.GraftFunctions.tokenizeWords(col("text"))
     docs
       .select(col("doc_id"), matchUdf(toks).as("__m"))
       .select(col("doc_id"),

@@ -25,7 +25,7 @@ object Bpe {
     */
   val EndOfWord = "</w>"
 
-  private def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+  private def toks(c: Column) = graft.functions.GraftFunctions.tokenizeWords(c)
 
   /** The single corpus-sized aggregation: (word, count), then the
     * deterministic top-`vocabCap` head (count desc, word asc).

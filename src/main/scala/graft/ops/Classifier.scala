@@ -37,7 +37,7 @@ object Classifier {
   def naiveBayesScore(docs: DataFrame, train: DataFrame, labelCol: String,
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+    def toks(c: Column) = graft.functions.GraftFunctions.tokenizeWords(c)
     val trainTok = train.select(col(labelCol).cast("boolean").as("__y"),
       explode(toks(col(textCol))).as("word"))
     // word x class counts in ONE aggregation; pinned so the totals

@@ -32,7 +32,7 @@ object Colloc {
   def pmiCollocations(docs: DataFrame, minCount: Int = 5, k: Int = 50,
                       textCol: String = "text"): DataFrame = {
     require(minCount >= 1 && k >= 1, "minCount and k must be >= 1")
-    def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+    def toks(c: Column) = graft.functions.GraftFunctions.tokenizeWords(c)
     def bigrams(c: Column) = {
       val t = toks(c)
       zip_with(
@@ -40,22 +40,28 @@ object Colloc {
         slice(t, lit(2), greatest(size(t) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))
     }
-    val bg = docs.select(explode(bigrams(col(textCol))).as("bg"))
+    // the UNFILTERED bigram model is pinned once: Nb (total bigram
+    // positions, pre-minCount) is exactly sum(c2) over it — a
+    // model-sized agg — so no third corpus scan+tokenize is needed,
+    // and the >= minCount model filters from the same evaluation
+    val bgAll = docs.select(explode(bigrams(col(textCol))).as("bg"))
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("c2"))
-      .filter(col("c2") >= minCount)
+      .localCheckpoint()
+    val nb = bgAll.agg(
+      greatest(coalesce(sum(col("c2")), lit(0L)), lit(1L))
+        .cast("double").as("__nbt"))
+    val bg = bgAll.filter(col("c2") >= minCount)
     val uni = docs.select(explode(toks(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("c1"))
       .localCheckpoint() // totals + both join legs read ONE evaluation
     val totals = uni.agg(
       greatest(coalesce(sum(col("c1")), lit(0L)), lit(1L))
         .cast("double").as("__nu"))
-    // Nb must count ALL bigram positions (pre-minCount), so it comes
-    // from a per-doc length agg, not from summing the filtered model
     bg.join(uni.select(col("word").as("w1"), col("c1").as("__ca")), Seq("w1"))
       .join(uni.select(col("word").as("w2"), col("c1").as("__cb")), Seq("w2"))
       .crossJoin(broadcast(totals))
-      .crossJoin(broadcast(nbTrue(docs, textCol)))
+      .crossJoin(broadcast(nb))
       .select(col("w1"), col("w2"), col("c2"),
         round(log((col("c2").cast("double") / col("__nbt")) /
           ((col("__ca").cast("double") / col("__nu")) *
@@ -64,13 +70,4 @@ object Colloc {
       .limit(k)
   }
 
-  /** True total bigram-position count (pre-minCount): sum of
-    * max(len-1, 0) per doc — one scalar agg, no second tokenized
-    * shuffle. */
-  private def nbTrue(docs: DataFrame, textCol: String): DataFrame = {
-    def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
-    docs.agg(greatest(coalesce(
-        sum(greatest(size(toks(col(textCol))) - 1, lit(0))), lit(0L)),
-      lit(1L)).cast("double").as("__nbt"))
-  }
 }

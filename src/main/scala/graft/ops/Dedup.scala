@@ -37,7 +37,7 @@ object Dedup {
 
   /** Word n-gram shingles of a document, lowercase, distinct. */
   def shingles(text: Column, n: Int = 3): Column = {
-    val toks = filter(split(lower(text), "\\W+"), t => t =!= "")
+    val toks = graft.functions.GraftFunctions.tokenizeWords(text)
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
@@ -179,7 +179,7 @@ object Dedup {
     */
   def simhash(text: Column): Column =
     graft.functions.GraftFunctions.simhash64(
-      transform(filter(split(lower(text), "\\W+"), t => t =!= ""),
+      transform(graft.functions.GraftFunctions.tokenizeWords(text),
         t => xxhash64(t)))
 
   private val BIT_MASKS: Column =
@@ -468,7 +468,7 @@ object Dedup {
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
     require(k >= 1 && w >= 1, "gram length k and window w must be >= 1")
-    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val toks = graft.functions.GraftFunctions.tokenizeWords(col(textCol))
     val base = docs.select(col(idCol), toks.as("__toks"))
       .withColumn("__n", size(col("__toks")))
     val gramHs = when(col("__n") >= k,

@@ -28,7 +28,7 @@ object Distrib {
 
   def sliceKlDivergence(docs: DataFrame, sliceCol: String,
                         textCol: String = "text"): DataFrame = {
-    def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+    def toks(c: Column) = graft.functions.GraftFunctions.tokenizeWords(c)
     // pinned: cw/ns/the join all derive from sw — without the pin the
     // corpus-sized tokenize+agg lineage would run once PER consumer
     // (the model itself is O(slices x vocab), bounded)
@@ -81,7 +81,7 @@ object Distrib {
     */
   def pairwiseJsd(docs: DataFrame, sliceCol: String,
                   textCol: String = "text"): DataFrame = {
-    def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+    def toks(c: Column) = graft.functions.GraftFunctions.tokenizeWords(c)
     val ca = s"${sliceCol}_a"
     val cb = s"${sliceCol}_b"
     // pinned: ns and both join legs derive from sw — one evaluation
@@ -136,7 +136,7 @@ object Distrib {
     */
   def vocabJaccard(docs: DataFrame, sliceCol: String,
                    textCol: String = "text"): DataFrame = {
-    def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+    def toks(c: Column) = graft.functions.GraftFunctions.tokenizeWords(c)
     val ca = s"${sliceCol}_a"
     val cb = s"${sliceCol}_b"
     // pinned: the size table and both join legs derive from sv
@@ -178,7 +178,7 @@ object Distrib {
   def zipfHeaps(docs: DataFrame, textCol: String = "text",
                 topN: Int = 1000): DataFrame = {
     require(topN >= 2, "topN >= 2")
-    def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+    def toks(c: Column) = graft.functions.GraftFunctions.tokenizeWords(c)
     import org.apache.spark.sql.expressions.Window
     // pinned: totals and the ranked head both derive from w
     val w = docs

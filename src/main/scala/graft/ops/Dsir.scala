@@ -44,18 +44,17 @@ object Dsir {
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
-    def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+    def toks(c: Column) = graft.functions.GraftFunctions.tokenizeWords(c)
     def feats(c: Column) = {
       val t = toks(c)
       val bgs = zip_with(
         slice(t, lit(1), greatest(size(t) - 1, lit(0))),
         slice(t, lit(2), greatest(size(t) - 1, lit(0))),
         (a, b) => concat(a, lit(" "), b))
-      // md5-hex head as the portable bucket hash; 8 hex chars = 32
-      // bits, safely inside LONG for the mod (ANSI-safe)
+      // shared md5-hex-head uniform hash (SqlCols.md5Head32): 32 bits,
+      // safely inside LONG for the mod (ANSI-safe)
       transform(bgs, bg =>
-        pmod(conv(substring(md5(bg), 1, 8), 16, 10).cast("long"),
-          lit(buckets.toLong)))
+        pmod(graft.util.SqlCols.md5Head32(bg), lit(buckets.toLong)))
     }
     // pinned: each model feeds BOTH its total and the scoring join —
     // without the pin the corpus-sized feature scan would run once

@@ -50,7 +50,7 @@ object ExactSubstr {
 
   /** Lowercased `\W+` tokens, empties dropped — the corpus tokenizer. */
   private def toksOf(textCol: Column): Column =
-    filter(split(lower(textCol), "\\W+"), t => t =!= "")
+    graft.functions.GraftFunctions.tokenizeWords(textCol)
 
   def dedupSubstrings(docs: DataFrame, k: Int = 8,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -211,8 +211,14 @@ object Joins {
                     factKey: String, dimKey: String,
                     expectedKeys: Long = 1000000L,
                     fpp: Double = 0.01): DataFrame = {
+    // concrete-type membership, not typeName: IntegerType.typeName is
+    // "integer" ("int" is only its simpleString), so a name list
+    // silently rejects int32 parquet keys
     val keyType = fact.schema(factKey).dataType
-    require(Seq("long", "int", "short", "byte").contains(keyType.typeName),
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+        .contains(keyType),
       s"bloomSemiJoin requires an integral key; $factKey is ${keyType.typeName}")
     val bf = dim.stat.bloomFilter(col(dimKey).cast("long"), expectedKeys, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)

@@ -36,7 +36,10 @@ object LineRules {
 
   def c4LineFilter(lines: DataFrame, minWords: Int = 5, minKept: Int = 3): DataFrame = {
     val words = filter(split(col("line"), "\\W+"), t => t =!= "")
-    val keep = col("line").rlike("[.!?\"]$") &&
+    // \z, not $: Java's $ also matches before a trailing line
+    // terminator, so a CR/LF-terminated line would pass here while the
+    // RE2 oracle (end-of-text $) drops it
+    val keep = col("line").rlike("[.!?\"]\\z") &&
       size(words) >= minWords &&
       !lower(col("line")).contains("javascript") &&
       !col("line").rlike("[{}]")

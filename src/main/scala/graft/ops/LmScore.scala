@@ -33,7 +33,7 @@ object LmScore {
   def unigramCrossEntropy(docs: DataFrame, ref: DataFrame,
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
-    def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+    def toks(c: Column) = graft.functions.GraftFunctions.tokenizeWords(c)
     val refCounts = ref
       .select(explode(toks(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
@@ -78,7 +78,7 @@ object LmScore {
   def bigramCrossEntropy(docs: DataFrame, ref: DataFrame,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
-    def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+    def toks(c: Column) = graft.functions.GraftFunctions.tokenizeWords(c)
     def bigrams(c: Column) = {
       val t = toks(c)
       zip_with(

@@ -40,7 +40,7 @@ object Mixture {
       "weights must be non-empty and non-negative")
     val sumW = weights.map(_._2).sum
     require(sumW > 0.0, "at least one weight must be positive")
-    def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+    def toks(c: Column) = graft.functions.GraftFunctions.tokenizeWords(c)
     val avail = docs
       .groupBy(col(sliceCol))
       .agg(sum(size(toks(col(textCol)))).as("avail_tokens"))

@@ -34,7 +34,7 @@ object Retrieval {
                textCol: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty && k > 0, "query terms and k required")
     val terms = queryTerms.map(_.toLowerCase).distinct
-    def toks(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+    def toks(c: Column) = graft.functions.GraftFunctions.tokenizeWords(c)
     // one corpus pass: doc length + per-probe-term tf (map-side filter)
     val base = docs.select(col(idCol), toks(col(textCol)).as("__t"))
       .select(col(idCol), size(col("__t")).as("len"),

@@ -132,9 +132,7 @@ object Sampling {
   def prioritySample(df: DataFrame, weightCol: Column, k: Int,
                      idCol: String = "doc_id"): DataFrame = {
     require(k > 0, "k must be positive")
-    val h = conv(substring(
-      md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long")
+    val h = graft.util.SqlCols.md5Head32(col(idCol).cast("string"))
     val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
     // filter BEFORE the division — ANSI mode raises on w = 0; null
     // ids draw no uniform (and engines disagree on DESC-null order),

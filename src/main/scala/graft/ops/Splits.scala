@@ -30,9 +30,8 @@ import org.apache.spark.sql.functions._
 object Splits {
 
   private def u01(id: Column, salt: String): Column =
-    conv(substring(md5(concat(id.cast("string"), lit(":" + salt)).cast("binary")),
-        1, 8), 16, 10)
-      .cast("long").cast("double") / lit(4294967296.0)
+    graft.util.SqlCols.md5Head32(concat(id.cast("string"), lit(":" + salt)))
+      .cast("double") / lit(4294967296.0)
 
   /** (doc_id, split) for every input row; `weights` are (name, w>0)
     * in ladder order, normalized internally.

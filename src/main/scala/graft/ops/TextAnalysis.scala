@@ -232,20 +232,23 @@ object TextAnalysis {
     *   4. collapse horizontal whitespace runs to one space;
     *   5. drop spaces hugging newlines;
     *   6. collapse 3+ blank-line runs to one blank line;
-    *   7. trim.
+    *   7. strip ALL leading/trailing whitespace (regexp, not trim():
+    *      trim strips only spaces, and step 4 deliberately leaves
+    *      newlines intact — a boundary '\n' must not survive).
     *
     * All steps are codegen'd regexp_replace chains (RE2-compatible —
     * the same chain is the DuckDB oracle) over one projection:
     * map-side at scan speed, zero shuffle, no UDF.
     */
   def cleanText(text: Column): Column =
-    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       graft.functions.GraftFunctions.nfcNormalize(text),
       "\r\n?", "\n"),
       "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
       "[^\\S\\n]+", " "),
       " ?\n ?", "\n"),
-      "\n{3,}", "\n\n"))
+      "\n{3,}", "\n\n"),
+      "^\\s+|\\s+$", "")
 
   /** Per-document character-level Shannon entropy (nats) — the cheap
     * low-entropy spam signal (keyboard mash, "aaaa…", template runs)

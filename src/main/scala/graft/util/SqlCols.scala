@@ -22,4 +22,15 @@ object SqlCols {
     require(b > 0, "floorDiv divisor must be positive")
     call_function("div", c - pmod(c, lit(b)), lit(b))
   }
+
+  /** First 32 bits of md5(`c`) as a LONG in [0, 2^32) — the
+    * engine-portable deterministic uniform-hash head (DuckDB replays
+    * it as `conv(substring(md5(x),1,8),16,10)` byte-for-byte). 8 hex
+    * chars keep every downstream product/mod inside LONG under ANSI.
+    * Single definition for the q64/q69/q76 convention: DSIR feature
+    * bucketing, A-ES priority sampling, and the deterministic hash
+    * split must never drift apart or their oracles desynchronize.
+    */
+  def md5Head32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 }

@@ -39,6 +39,17 @@ class CleaningSpec extends AnyFunSuite {
     assert(clean("a\tb\nc") == Seq("a b\nc"))
   }
 
+  test("boundary newlines stripped (trim() would keep them — oracle parity)") {
+    // trailing/leading \n survive steps 2-6 (step 4 deliberately
+    // excludes \n); the final strip must remove ALL whitespace, as the
+    // q53 DuckDB twin's '^\s+|\s+$' does — regression for the
+    // space-only functions.trim that diverged from the oracle
+    assert(clean("abc\n") == Seq("abc"))
+    assert(clean("\nabc") == Seq("abc"))
+    assert(clean("\n\n a\nb \n\n") == Seq("a\nb"))
+    assert(clean("\n\n") == Seq(""))
+  }
+
   test("null-safe and empty-safe") {
     import spark.implicits._
     val got = Seq[Option[String]](None, Some(""), Some("   ")).toDF("t")

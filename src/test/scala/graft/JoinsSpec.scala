@@ -143,6 +143,13 @@ class JoinsSpec extends AnyFunSuite {
       val got = canon(Joins.bloomSemiJoin(fact, dim, "k", "dk", expectedKeys = expected))
       assert(got == plain, s"expectedKeys=$expected diverged from plain semi-join")
     }
+    // every integral width accepted — IntegerType's typeName is
+    // "integer" (regression: a name list keyed on "int" rejected it)
+    val factInt = fact.filter(col("k") < 1000).withColumn("k", col("k").cast("int"))
+    val plainInt = canon(factInt.join(dim, col("k") === col("dk"), "left_semi"))
+    assert(canon(Joins.bloomSemiJoin(factInt, dim, "k", "dk")) == plainInt)
+    assert(canon(Joins.bloomSemiJoin(
+      factInt.withColumn("k", col("k").cast("short")), dim, "k", "dk")) == plainInt)
     // non-integral key rejected loudly
     val bad = intercept[IllegalArgumentException] {
       Joins.bloomSemiJoin(fact.withColumn("k", col("k").cast("string")), dim, "k", "dk")

@@ -59,6 +59,18 @@ class LineRulesSpec extends AnyFunSuite {
       Seq(good, good, good, lorem).mkString("\n"), false)))
   }
 
+  test("CR/LF-terminated lines do NOT satisfy the terminal-punct rule (RE2-$ parity)") {
+    // Java's $ matches before a trailing line terminator, so rlike with
+    // $ kept "....\r" while the RE2 oracle dropped it; the rule now
+    // anchors with \z (end of text), matching the oracle — regression
+    val good = "one two three four five six."
+    val rows = Seq(
+      (1L, 0, good), (1L, 1, good), (1L, 2, good),
+      (1L, 3, good + "\r"), (1L, 4, good + "\n"))
+    val got = run(rows)
+    assert(got(1L) == ((5L, 3L, Seq(good, good, good).mkString("\n"), true)))
+  }
+
   test("minWords/minKept are parameters; out-of-order input assembles in idx order") {
     import spark.implicits._
     val rows = Seq((1L, 2, "c c."), (1L, 0, "a a."), (1L, 1, "b b."))
