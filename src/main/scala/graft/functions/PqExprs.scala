@@ -148,8 +148,7 @@ object PqKernels {
   */
 case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
   extends UnaryExpression {
-  require(codebooks.nonEmpty && codebooks.head.nonEmpty &&
-    codebooks.head.length <= 256, "1..256 codes per subspace")
+  PqResChecks.requireRect(codebooks)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -178,8 +177,7 @@ case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
 /** `pq_encode(v)` — m-byte PQ code of a vector. */
 case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   extends UnaryExpression {
-  require(codebooks.nonEmpty && codebooks.head.nonEmpty &&
-    codebooks.head.length <= 256, "1..256 codes per subspace")
+  PqResChecks.requireRect(codebooks)
 
   override def dataType: DataType = BinaryType
 
@@ -210,8 +208,7 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   */
 case class PqAdc(left: Expression, right: Expression,
                  codebooks: Array[Array[Array[Double]]]) extends BinaryExpression {
-  require(codebooks.nonEmpty && codebooks.head.nonEmpty &&
-    codebooks.head.length <= 256, "1..256 codes per subspace")
+  PqResChecks.requireRect(codebooks)
 
   override def dataType: DataType = DoubleType
 
@@ -266,13 +263,26 @@ object PqResChecks {
     }
   }
 
-  def requireShapes(coarse: Array[Array[Double]],
-                    codebooks: Array[Array[Array[Double]]]): Unit = {
+  /** Codebooks must be RECTANGULAR: a ragged array passes a head-only
+    * check and then silently misindexes the flattened
+    * (s*codes + c)*subDim layout every kernel reads (garbage codes /
+    * ADC distances, or an out-of-bounds read mid-job).
+    */
+  def requireRect(codebooks: Array[Array[Array[Double]]]): Unit = {
     require(codebooks.nonEmpty && codebooks.head.nonEmpty &&
       codebooks.head.length <= 256, "1..256 codes per subspace")
+    val codes = codebooks.head.length
+    val subDim = codebooks.head.head.length
+    require(codebooks.forall(b => b.length == codes && b.forall(_.length == subDim)),
+      s"ragged codebooks: every subspace needs exactly $codes codes of sub-dim $subDim")
+  }
+
+  def requireShapes(coarse: Array[Array[Double]],
+                    codebooks: Array[Array[Array[Double]]]): Unit = {
+    requireRect(codebooks)
     val dim = codebooks.length * codebooks.head.head.length
-    require(coarse.nonEmpty && coarse.head.length == dim,
-      s"coarse centroids must have dim $dim")
+    require(coarse.nonEmpty && coarse.forall(_.length == dim),
+      s"every coarse centroid must have dim $dim")
   }
 }
 

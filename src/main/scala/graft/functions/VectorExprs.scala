@@ -48,7 +48,12 @@ object VectorKernels {
     while (j < a.numElements()) { val x = elem(a, aFloat, j); na += x * x; j += 1 }
     j = n
     while (j < b.numElements()) { val y = elem(b, bFloat, j); nb += y * y; j += 1 }
-    d / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm guard: 0/0 = NaN, and Spark orders NaN ABOVE every
+    // number — an all-zeros (failed-embedding) row would pass every
+    // `>= threshold` filter and rank FIRST in every top-k. A vector
+    // with no direction has similarity 0 to everything by contract.
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) 0.0 else d / den
   }
 
   /** Indices of the `nProbe` nearest centroids, ascending by squared

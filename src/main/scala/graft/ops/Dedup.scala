@@ -106,12 +106,19 @@ object Dedup {
     * (one loop per row; docs pair iff a band slice matches exactly, so
     * the key derivation only needs determinism, not a specific hash).
     */
-  private def bandedSignatures(sigs: DataFrame, k: Int, bands: Int): DataFrame =
+  private def bandedSignatures(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    // bands must tile the signature exactly: bands > k makes every
+    // band an empty slice (one identical constant key per band for
+    // EVERY doc — an all-pairs bucket), and k % bands != 0 silently
+    // drops the trailing signature slots from banding
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k)")
     sigs.select(
       col("id"), col("sig"),
       posexplode(graft.functions.GraftFunctions.sigBandKeys(col("sig"), bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+  }
 
   /** Audit companion of [[minhashLsh]]: the (band, bucket) groups LARGER
     * than maxBucket — exactly the memberships minhashLsh(..., maxBucket)

@@ -36,8 +36,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Law-checked HOF twin of [[GraftFunctions.cosineSim]]. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Law-checked HOF twin of [[GraftFunctions.cosineSim]] — incl. the
+    * zero-norm contract (similarity 0, never NaN: Spark orders NaN
+    * above every number, so a NaN would win every top-k).
+    */
+  def cosine(a: Column, b: Column): Column =
+    when(norm(a) * norm(b) === 0.0, lit(0.0))
+      .otherwise(dot(a, b) / (norm(a) * norm(b)))
 
   /** Exact top-k most-similar vectors to one query vector (brute
     * force). The query is a plan literal -> broadcast by construction;
@@ -125,7 +130,10 @@ object Similarity {
   private def detSample(embeddings: DataFrame, idCol: String, vecCol: String,
                         sampleCap: Int): DataFrame =
     embeddings
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      // hash the STRING form of the id: a cast to long nulls every
+      // non-numeric id (content hashes, URLs), collapsing the
+      // deterministic hash order into an arbitrary all-ties pick
+      .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
       .orderBy(xxhash64(col("id")), col("id"))
       .limit(sampleCap)
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
@@ -144,7 +152,9 @@ object Similarity {
       .orderBy(xxhash64(col("id")), col("id"))
       .limit(nCentroids)
       .collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      // Number, not Float: the kernels accept array<float|double>, so
+      // the training side must unbox either element type
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
     var it = 0
     while (it < iters) {
       val assigned = sample
@@ -202,7 +212,7 @@ object Similarity {
         .limit(codes)
         .collect()
         .map { r =>
-          val v = r.getSeq[Float](1).map(_.toDouble).toArray
+          val v = r.getSeq[Number](1).map(_.doubleValue()).toArray
           if (residual) {
             val c = coarse(r.getInt(2))
             Array.tabulate(dim)(i => v(i) - c(i))
@@ -294,16 +304,24 @@ object Similarity {
     val survivors = qs.join(index, Seq("cl"))
       .filter(col("qid") =!= col("id"))
       // residual ADC compares q - coarse[cl] against the candidate's
-      // residual code; cl is the probe-join key, already on the row
+      // residual code; cl is the probe-join key, already on the row.
+      // adc is computed MAP-SIDE (qs broadcasts into the probe join),
+      // then qv is dropped before the per-query ranking window — the
+      // candidate rows crossing that shuffle are (qid, id, adc), not
+      // dim floats per candidate; the re-rank recovers qv from the
+      // |Q|-row query side afterwards
       .withColumn("adc",
         if (residual) GraftFunctions.pqAdcRes(col("qv"), col("cl"), col("code"), coarse, pq)
         else GraftFunctions.pqAdc(col("qv"), col("code"), pq))
+      .select(col("qid"), col("id"), col("adc"))
       .withColumn("rn0", row_number().over(wAdc))
       .filter(col("rn0") <= keep)
-      .select(col("qid"), col("qv"), col("id"))
+      .select(col("qid"), col("id"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     survivors
       .join(embeddings.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
+      .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))),
+        Seq("qid"))
       .withColumn("sim", round(GraftFunctions.cosineSim(col("qv"), col("v")), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -527,18 +545,27 @@ object Similarity {
 
   /** Audit companion of [[semanticDedup]]: clusters larger than
     * maxCluster under the SAME deterministic codebook — exactly the
-    * memberships the pairing excludes.
+    * memberships the pairing excludes. Pass the already-trained
+    * `codebook` when running beside a dedup pass (the ivfTopK
+    * pattern) — the no-codebook overload retrains, which only
+    * determinism makes equivalent and which doubles the training jobs.
     */
   def semanticOversizedClusters(embeddings: DataFrame, dim: Int,
                                 nClusters: Int = 16, iters: Int = 2,
                                 idCol: String = "vec_id", vecCol: String = "embedding",
                                 maxCluster: Long = 1L << 20,
-                                sampleCap: Int = 100000): DataFrame = {
-    val codebook = trainIvf(embeddings, dim, nClusters, iters, idCol, vecCol, sampleCap)
+                                sampleCap: Int = 100000): DataFrame =
+    semanticOversizedClusters(embeddings,
+      trainIvf(embeddings, dim, nClusters, iters, idCol, vecCol, sampleCap),
+      idCol, vecCol, maxCluster)
+
+  def semanticOversizedClusters(embeddings: DataFrame,
+                                codebook: Array[Array[Double]],
+                                idCol: String, vecCol: String,
+                                maxCluster: Long): DataFrame =
     embeddings
       .select(nearestCentroid(col(vecCol), codebook).as("cluster"))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > maxCluster)
-  }
 }

@@ -342,13 +342,23 @@ object ExtractJob {
     // with a FileNotFoundException stack on every first run)
     val mHPath = new org.apache.hadoop.fs.Path(manifestPath)
     val mFs = mHPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an EXISTING but unreadable/mis-schemaed manifest must fail, not
+    // fall back to empty: an empty priorSnapshots bypasses the lineage
+    // guard below, and dynamic partition overwrite then leaves any
+    // bucket absent from the new input holding its stale old-input
+    // files — exactly the mixed-lineage output the guard exists to stop
     val (committed: Set[Int], priorSnapshots: Set[String]) =
       if (!mFs.exists(mHPath)) (Set.empty[Int], Set.empty[String])
       else try {
         val m = spark.read.parquet(manifestPath)
           .select($"bucket", $"input_snapshot_id").as[(Int, String)].collect()
         (m.map(_._1).toSet, m.map(_._2).toSet)
-      } catch { case _: Throwable => (Set.empty[Int], Set.empty[String]) }
+      } catch {
+        case e: Throwable => throw new IllegalStateException(
+          s"manifest at $manifestPath exists but cannot be read — refusing to " +
+            s"resume blind (a bypassed lineage guard can mix inputs in the " +
+            s"output); repair or remove the manifest to proceed", e)
+      }
     // lineage guard: a resumed run against changed input would mix
     // buckets computed from two different inputs — fail loudly instead
     if (priorSnapshots.nonEmpty && priorSnapshots != Set(snapshotId))

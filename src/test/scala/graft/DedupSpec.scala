@@ -363,6 +363,39 @@ class DedupSpec extends AnyFunSuite {
     assert(h4 >= h1)
   }
 
+  test("training accepts string ids and array<double> vectors (the kernels' full domain)") {
+    val dim = 8
+    val emb = clustered(nClusters = 4, perCluster = 10, dim = dim, noise = 0.05)
+    // string ids (content hashes): cast-to-long would null them all and
+    // the deterministic sample would degenerate — regression
+    val strIds = emb.withColumn("vec_id", concat(lit("sha:"), col("vec_id")))
+    val cbS1 = Similarity.trainIvf(strIds, dim, nCentroids = 4, iters = 2)
+    val cbS2 = Similarity.trainIvf(strIds, dim, nCentroids = 4, iters = 2)
+    assert(cbS1.zip(cbS2).forall { case (a, b) => a.sameElements(b) })
+    // array<double> vectors: the search kernels accept them, so the
+    // training collect must unbox them too (regression: getSeq[Float]
+    // threw ClassCastException)
+    val dbl = emb.withColumn("embedding",
+      expr("transform(embedding, x -> cast(x as double))"))
+    val cbD = Similarity.trainIvf(dbl, dim, nCentroids = 4, iters = 2)
+    assert(cbD.length == 4 && cbD.forall(_.length == dim))
+    val pq = Similarity.trainPq(dbl, dim, m = 2, codes = 4, iters = 1)
+    assert(pq.length == 2)
+  }
+
+  test("minhashLsh rejects a band count that does not tile the signature") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.minhashLsh(d, k = 32, bands = 40) // bands > k: empty slices
+    }
+    assert(bad.getMessage.contains("divide"))
+    val bad2 = intercept[IllegalArgumentException] {
+      Dedup.minhashLsh(d, k = 32, bands = 5) // 32 % 5 != 0: dropped slots
+    }
+    assert(bad2.getMessage.contains("divide"))
+  }
+
   test("IVF-PQ ANN: recall@10 >= 0.9 via byte codes + exact re-rank; deterministic training") {
     val dim = 64
     val emb = clustered(nClusters = 40, perCluster = 12, dim = dim, noise = 0.08)
@@ -405,7 +438,7 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("residual PQ: ADC-ranked recall improves over raw-vector PQ; training deterministic") {
+  test("residual PQ: quantization error well below raw at identical shape; recall holds; deterministic") {
     val dim = 64
     // wide within-cluster noise + one coarse cell per cluster: raw PQ
     // with 4 codes/subspace must span the GLOBAL spread (whole
@@ -413,12 +446,19 @@ class DedupSpec extends AnyFunSuite {
     // only quantizes the within-cell offsets — the regime residual
     // quantization exists for
     val emb = clustered(nClusters = 40, perCluster = 12, dim = dim, noise = 0.25)
-    val coarse = Similarity.trainIvf(emb, dim, nCentroids = 40, iters = 2)
+    // a CONVERGED coarse book is the residual contract's precondition
+    // (residuals are only small when cells track clusters): 2 rounds
+    // left cells misaligned under some training samples, making the
+    // residual-vs-raw comparison flip on sample perturbations
+    val coarse = Similarity.trainIvf(emb, dim, nCentroids = 40, iters = 5)
     // rerank = k keeps the candidate set ADC-decided (a large rerank
     // would let the exact re-rank mask codebook quality)
     val raw = Similarity.trainPq(emb, dim, m = 8, codes = 4, iters = 2)
     val res = Similarity.trainPq(emb, dim, m = 8, codes = 4, iters = 2, coarse = coarse)
-    val qids = (0 until 8).map(c => (c * 12).toLong)
+    // all 40 cluster heads as queries: an 8-query mean is hostage to
+    // ±1-hit noise per query, which once flipped the comparison on a
+    // legitimate training-sample change
+    val qids = (0 until 40).map(c => (c * 12).toLong)
     val queries = emb.filter(col("vec_id").isin(qids: _*))
     val vecs = emb.collect()
       .map(r => r.getAs[Number](0).longValue -> r.getSeq[Float](1).toArray).toMap
@@ -441,11 +481,45 @@ class DedupSpec extends AnyFunSuite {
         truth.intersect(got.getOrElse(q, Set.empty)).size / 10.0
       }.sum / qids.size
     }
+    // the STRUCTURAL residual claim — finer codes at identical index
+    // shape — is quantization error, asserted directly (deterministic;
+    // recall saturates at the nProbe candidate ceiling for BOTH
+    // variants on this corpus, so a recall comparison there only
+    // measures tie-break luck): mean squared reconstruction error of
+    // residual coding must undercut raw coding decisively
+    def sqErr(v: Array[Float], book: Array[Array[Array[Double]]],
+              base: Array[Double]): Double = {
+      val m = book.length; val sub = dim / m
+      var e = 0.0; var s = 0
+      while (s < m) {
+        var best = Double.MaxValue
+        book(s).foreach { c =>
+          var d = 0.0; var i = 0
+          while (i < sub) {
+            val x = v(s * sub + i) - base(s * sub + i) - c(i); d += x * x; i += 1
+          }
+          if (d < best) best = d
+        }
+        e += best; s += 1
+      }
+      e
+    }
+    val zero = Array.fill(dim)(0.0)
+    def nearestCoarse(v: Array[Float]): Array[Double] =
+      coarse.minBy { c =>
+        var d = 0.0; var i = 0
+        while (i < dim) { val x = v(i) - c(i); d += x * x; i += 1 }
+        d
+      }
+    val (rawErr, resErr) = vecs.values.foldLeft((0.0, 0.0)) { case ((a, b), v) =>
+      (a + sqErr(v, raw, zero), b + sqErr(v, res, nearestCoarse(v)))
+    }
+    assert(resErr < rawErr * 0.5,
+      s"residual quantization error $resErr not well below raw $rawErr")
     val rawRecall = meanRecall(raw, residual = false)
     val resRecall = meanRecall(res, residual = true)
-    assert(resRecall >= rawRecall,
-      s"residual recall $resRecall < raw recall $rawRecall")
-    assert(resRecall >= 0.7, s"residual ADC recall@10 $resRecall < 0.7")
+    assert(resRecall >= 0.9, s"residual ADC recall@10 $resRecall < 0.9")
+    assert(rawRecall >= 0.7, s"raw ADC recall@10 $rawRecall < 0.7 (shared harness sanity)")
     // deterministic residual training
     val res2 = Similarity.trainPq(emb, dim, m = 8, codes = 4, iters = 2, coarse = coarse)
     assert(res.zip(res2).forall { case (a, b) =>

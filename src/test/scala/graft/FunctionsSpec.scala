@@ -271,6 +271,28 @@ class FunctionsSpec extends AnyFunSuite {
       ex.getMessage.toLowerCase.contains("array"))
   }
 
+  test("zero-norm cosine is 0.0 (never NaN) in kernel and twin — NaN would win every top-k") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(0f, 0f, 0f), Seq(1f, 2f, 3f)),
+      (Seq(1f, 2f, 3f), Seq(0f, 0f, 0f)),
+      (Seq(0f, 0f, 0f), Seq(0f, 0f, 0f))).toDF("a", "b")
+    val rows = df.select(
+      GraftFunctions.cosineSim(col("a"), col("b")).as("native"),
+      graft.ops.Similarity.cosine(col("a"), col("b")).as("twin")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == 0.0, s"native ${r.getDouble(0)}")
+      assert(r.getDouble(1) == 0.0, s"twin ${r.getDouble(1)}")
+    }
+    // and a failed-embedding (all-zeros) row must not displace a true
+    // neighbor in a top-k
+    val emb = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val top = graft.ops.Similarity.bruteForceTopK(emb, Seq(1f, 0f), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L), s"zero vector displaced a neighbor: $top")
+  }
+
   test("TokenizeWords native == filter(split(lower)) twin on tricky strings; codegen on") {
     import spark.implicits._
     val data = Seq(

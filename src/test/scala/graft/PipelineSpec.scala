@@ -157,6 +157,17 @@ class PipelineSpec extends AnyFunSuite {
       ExtractJob.runResumable(spark, spark.read.parquet(inB), media, outDir, cfg)
     }
     assert(ex.getMessage.contains("refusing to resume"))
+    // an EXISTING but unreadable manifest must also fail loudly — a
+    // swallowed read error would bypass the lineage guard entirely
+    // (regression: catch-all fell back to empty prior snapshots)
+    val manifestDir = new java.io.File(outDir, "manifest")
+    manifestDir.listFiles().foreach(_.delete())
+    java.nio.file.Files.write(new java.io.File(manifestDir, "part-corrupt.parquet").toPath,
+      "not parquet".getBytes)
+    val ex2 = intercept[IllegalStateException] {
+      ExtractJob.runResumable(spark, spark.read.parquet(inA), media, outDir, cfg)
+    }
+    assert(ex2.getMessage.contains("cannot be read"))
   }
 
   test("S10 health probe: capability row + live manifest counters") {
