@@ -43,14 +43,20 @@ object ImageCodec {
       val w = img.getWidth
       val h = img.getHeight
       val px = new Array[Int](w * h)
-      if (img.getColorModel.getNumComponents == 1) {
-        // single-channel: read raster samples directly — getRGB would
-        // push gray through sRGB gamma (128 -> ~186) and break the
-        // lossless PNG round-trip
+      val cm = img.getColorModel
+      if (cm.getColorSpace.getNumComponents == 1) {
+        // gray color space (with or without alpha): read raster samples
+        // directly — getRGB would push gray through sRGB gamma
+        // (128 -> ~186) and break the lossless PNG round-trip. Keyed on
+        // the COLOR space so gray+alpha doesn't fall to the gamma path.
         val raster = img.getRaster
+        // scale by sample bit depth: 16-bit gray PNGs carry 0..65535
+        // samples, and unscaled values blow past the 256-bin Otsu
+        // histogram downstream
+        val shift = math.max(0, cm.getComponentSize(0) - 8)
         var i = 0
         while (i < px.length) {
-          px(i) = raster.getSample(i % w, i / w, 0)
+          px(i) = raster.getSample(i % w, i / w, 0) >> shift
           i += 1
         }
       } else {

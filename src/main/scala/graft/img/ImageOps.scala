@@ -18,9 +18,16 @@ package graft.img
   */
 object ImageOps {
 
-  /** reflect-101 border index: -1 -> 1, n -> n-2. */
-  @inline private def ref101(i: Int, n: Int): Int =
-    if (i < 0) -i else if (i >= n) 2 * n - 2 - i else i
+  /** reflect-101 border index: -1 -> 1, n -> n-2 — clamped into
+    * [0, n-1] afterwards: when the dimension is smaller than the
+    * kernel radius (1x1 tracking pixels, sliver crops) the pure
+    * reflection maps outside the array (n=1 sends -1 to 1) and the
+    * blur kernels would throw mid-task.
+    */
+  @inline private def ref101(i: Int, n: Int): Int = {
+    val r = if (i < 0) -i else if (i >= n) 2 * n - 2 - i else i
+    if (r < 0) 0 else if (r >= n) n - 1 else r
+  }
 
   /** BGR -> gray with OpenCV's coefficients (ITU-R BT.601):
     * gray = 0.299 R + 0.587 G + 0.114 B, rounded half-up.

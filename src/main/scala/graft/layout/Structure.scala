@@ -40,7 +40,10 @@ final case class DocStructure(paragraphs: Seq[Paragraph], columns: Seq[ColumnGro
 object StructureAnalyzer {
 
   def analyze(bytes: Array[Byte], ocrRoi: (Array[Int], Int, Int) => String): DocStructure = {
-    val (w, h, gray) = SynthRaster.parse(bytes)
+    // ImageCodec.decode, not SynthRaster.parse: the structure path must
+    // accept every media format the OCR path does (PNG/JPEG included) —
+    // visualize() below already decodes this way
+    val (w, h, gray) = graft.img.ImageCodec.decode(bytes)
     analyzeGray(gray, w, h, ocrRoi)
   }
 

@@ -214,7 +214,15 @@ final class OcrEngine(val mode: String, val language: String = "eng") {
     // allowlist) decode through ImageIO; raw synthetic rasters through
     // the parser — one code path after this line either way
     val (w0, h0, px0) = graft.img.ImageCodec.decode(bytes)
-    val (px, w, h) = ImageOps.resizeCap(px0, w0, h0, resizeCapFor(quality))
+    // the mobile resize cap applies to COMPRESSED (real-image) inputs —
+    // the reference's decode-cost ceiling. A synthetic glyph raster
+    // must decode at native scale: its fixed MARGIN/CELL grid does not
+    // survive rescaling (a capped page would decode to confident
+    // garbage, not text), and its decode cost is the glyph scan itself
+    val (px, w, h) =
+      if (graft.img.ImageCodec.isCompressedImage(bytes))
+        ImageOps.resizeCap(px0, w0, h0, resizeCapFor(quality))
+      else (px0, w0, h0)
 
     // run the chain, keeping the page's global threshold (if any) so the
     // decode tables reflect exactly this page's binarization
@@ -293,15 +301,20 @@ final class OcrEngine(val mode: String, val language: String = "eng") {
         c += 1
       }
       // token confidences: mean char conf per maximal non-space run;
-      // each whitespace gap contributes a -1 box (tesseract layout rows)
+      // ONE -1 box per whitespace gap BETWEEN tokens (tesseract layout
+      // rows) — not one per space character: a two-space gap is one
+      // separator, and leading/trailing pad spaces box nothing
       var i = 0
       var runSum = 0; var runLen = 0
+      var lineHasToken = false
       while (i <= line.length) {
         val isChar = i < line.length && line.charAt(i) != ' '
         if (isChar) { runSum += charConfs(i); runLen += 1 }
-        else {
-          if (runLen > 0) { confs += runSum / runLen; runSum = 0; runLen = 0 }
-          if (i < line.length) confs += -1
+        else if (runLen > 0) {
+          if (lineHasToken) confs += -1
+          confs += runSum / runLen
+          lineHasToken = true
+          runSum = 0; runLen = 0
         }
         i += 1
       }

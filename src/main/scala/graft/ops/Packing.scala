@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fixed-token-budget sharding ("sequence packing") — the step that
@@ -40,43 +39,14 @@ object Packing {
   def packByBudget(docs: DataFrame, budgetTokens: Long, nTokens: Column,
                    idCol: String = "doc_id", parts: Int = 0): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    val spark = docs.sparkSession
-    val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
-    val ranged = docs
-      .select(col(idCol), nTokens.cast("long").as("n_tokens"))
-      .repartitionByRange(p, col(idCol))
-      .withColumn("__pid", spark_partition_id())
-    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // localCheckpoint PINS the materialized partitioning: the totals
-    // collect below and the returned frame are separate jobs, and
-    // RangePartitioner re-samples its bounds per job — without the
-    // pin, a doc near a boundary could land in pid P for the totals
-    // job but pid P+1 for the output job, silently corrupting every
-    // downstream offset. Also avoids tokenizing the corpus twice.
-    // The checkpointed projection is 3 slim columns, executor-local.
-    val local = ranged.withColumn("__run", sum(col("n_tokens")).over(w))
-      .localCheckpoint()
-    // partition totals -> exclusive prefix offsets: P scalars on the
-    // driver (control plane), never data rows. Range partitions are
-    // assigned ascending ids, so pid order IS global id order.
-    val totals = local.groupBy(col("__pid"))
-      .agg(max(col("__run")).as("__tot"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
-    val offsets = new Array[Long](p)
-    var acc = 0L
-    var i = 0
-    while (i < p) {
-      offsets(i) = acc
-      acc += totals.getOrElse(i, 0L)
-      i += 1
-    }
-    val offLit = typedLit(offsets.toSeq)
-    local
-      .withColumn("__before",
-        element_at(offLit, col("__pid") + 1) + col("__run") - col("n_tokens"))
+    // the running token sum is Shuffling.rangePrefix — the shared
+    // parallel-prefix core (range partition, per-partition window, P
+    // driver offset scalars, localCheckpoint pin; see its doc for the
+    // pinning correctness argument) — with the token count as the
+    // summed value instead of 1
+    Shuffling.rangePrefix(
+        docs.select(col(idCol), nTokens.cast("long").as("n_tokens")),
+        Seq(col(idCol)), col("n_tokens"), parts)
       .withColumn("shard", graft.util.SqlCols.floorDiv(col("__before"), budgetTokens))
       .select(col(idCol), col("n_tokens"), col("shard"))
   }

@@ -35,28 +35,45 @@ import org.apache.spark.sql.functions._
   */
 object Shuffling {
 
-  /** The parallel-prefix global rank, reusable for ANY total order:
-    * appends 0-based `pos` = the input's global rank under
-    * `orderCols` (which MUST be a total order — append the id as the
-    * last key). Range-partition by the order keys, per-partition
-    * `row_number`, per-partition counts -> driver prefix offsets
-    * (P control-plane scalars, never data), one map-side add.
-    * `localCheckpoint` pins the sampled range boundaries (see object
-    * doc). Input columns pass through.
+  /** The shared parallel-prefix core: appends `__before` = the global
+    * EXCLUSIVE prefix sum of `valueCol` (cast to long, must be
+    * non-negative) under the total order `orderCols` (append the id
+    * as the last key — ties would make the rank ambiguous).
+    * Range-partition by the order keys, per-partition running sums (a
+    * window keyed by partition id — every group is one bounded range,
+    * no whale key possible), per-partition totals -> driver prefix
+    * offsets (P control-plane scalars, never data rows), one map-side
+    * add.
+    *
+    * `localCheckpoint` PINS the materialized partitioning: the totals
+    * collect and the returned frame are separate jobs, and
+    * RangePartitioner re-samples its bounds per job — without the pin
+    * a row near a boundary could land in pid P for the totals job but
+    * pid P+1 for the output job, silently corrupting every downstream
+    * offset. Single definition for the rank/packing/banding/
+    * proportional-sample family: the pinning argument must never
+    * drift between copies.
     */
-  def globalRank(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
-                 parts: Int = 0): DataFrame = {
+  private[ops] def rangePrefix(df: DataFrame,
+                               orderCols: Seq[org.apache.spark.sql.Column],
+                               valueCol: org.apache.spark.sql.Column,
+                               parts: Int): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
     val spark = df.sparkSession
     val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
     val ranged = df
+      .withColumn("__v", valueCol.cast("long"))
       .repartitionByRange(p, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
-    val local = ranged.withColumn("__rn", row_number().over(w))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__run", sum(col("__v")).over(w))
       .localCheckpoint()
+    // max(__run) == the partition total (values are non-negative);
+    // range partitions are assigned in ascending key order, so pid
+    // order IS the global order
     val totals = local.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__tot"))
+      .agg(max(col("__run")).as("__tot"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .toMap
@@ -70,9 +87,22 @@ object Shuffling {
     }
     val offLit = typedLit(offsets.toSeq)
     local
-      .withColumn("pos", element_at(offLit, col("__pid") + 1) + col("__rn") - 1)
-      .drop("__pid", "__rn")
+      .withColumn("__before",
+        element_at(offLit, col("__pid") + 1) + col("__run") - col("__v"))
+      .drop("__pid", "__run")
   }
+
+  /** The parallel-prefix global rank, reusable for ANY total order:
+    * appends 0-based `pos` = the input's global rank under
+    * `orderCols` (which MUST be a total order — append the id as the
+    * last key); [[rangePrefix]] with value 1. Input columns pass
+    * through.
+    */
+  def globalRank(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
+                 parts: Int = 0): DataFrame =
+    rangePrefix(df, orderCols, lit(1L), parts)
+      .withColumn("pos", col("__before"))
+      .drop("__before", "__v")
 
   /** (idCol) -> (idCol, pos, shard); `pos` is the global rank in
     * deterministic-shuffle order, `shard` = pos % shards.

@@ -129,21 +129,32 @@ object Sketches {
     * Input: one `word` column. Output: (word, n) for every word with
     * n > total/(k+1).
     */
-  def heavyHitters(words: DataFrame, k: Int = 64): DataFrame = {
+  /** Shared two-pass core: pass 1 = one aggregation carrying the
+    * Misra-Gries sketch AND the row total; pass 2 = exact recount of
+    * the <= k surviving candidates (a broadcast-filterable set).
+    * Returns (total, exact (word, n) counts of the candidates) —
+    * (0, empty frame) when no candidate survives. Single definition:
+    * heavyHitters and keySkewAudit must never drift on the protocol's
+    * null handling, the empty-candidate branch, or the recount.
+    */
+  private def candidateCounts(words: DataFrame, k: Int): (Long, DataFrame) = {
     val mg = udaf(new MisraGries(k), Encoders.STRING)
-    // pass 1: the sketch AND the total in one aggregation
     val first = words.agg(mg(col("word")).as("cands"), count(lit(1)).as("total")).head()
     val candidates: Seq[String] = first.getSeq[String](0)
     val total = first.getLong(1)
-    if (candidates.isEmpty)
-      words.sparkSession.emptyDataFrame
-        .select(lit("").as("word"), lit(0L).as("n")).limit(0)
+    if (candidates.isEmpty || total == 0L)
+      (0L, words.sparkSession.emptyDataFrame
+        .select(lit("").as("word"), lit(0L).as("n")).limit(0))
     else
-      // pass 2: exact recount of the <= k candidates only
-      words.filter(col("word").isin(candidates: _*))
-        .groupBy(col("word")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > total / (k + 1.0))
-        .select(col("word"), col("n"))
+      (total, words.filter(col("word").isin(candidates: _*))
+        .groupBy(col("word")).agg(count(lit(1)).as("n")))
+  }
+
+  def heavyHitters(words: DataFrame, k: Int = 64): DataFrame = {
+    val (total, counts) = candidateCounts(words, k)
+    counts
+      .filter(col("n") > total / (k + 1.0))
+      .select(col("word"), col("n"))
   }
 
   /** Pre-flight skew audit for key-partitioned operators (asofJoin,
@@ -164,19 +175,11 @@ object Sketches {
     require(maxShare > 0 && maxShare < 1, "maxShare must be in (0, 1)")
     val k = math.max(1, math.ceil(1.0 / maxShare).toInt)
     val words = df.select(col(keyCol).cast("string").as("word"))
-    val mg = udaf(new MisraGries(k), Encoders.STRING)
-    val first = words.agg(mg(col("word")).as("cands"), count(lit(1)).as("total")).head()
-    val candidates: Seq[String] = first.getSeq[String](0)
-    val total = first.getLong(1)
-    if (candidates.isEmpty || total == 0L)
-      df.sparkSession.emptyDataFrame
-        .select(lit("").as(keyCol), lit(0L).as("n"), lit(0.0).as("share")).limit(0)
-    else
-      words.filter(col("word").isin(candidates: _*))
-        .groupBy(col("word")).agg(count(lit(1)).as("n"))
-        .withColumn("share", col("n") / lit(total.toDouble))
-        .filter(col("share") > maxShare)
-        .select(col("word").as(keyCol), col("n"), col("share"))
-        .orderBy(col("share").desc, col(keyCol))
+    val (total, counts) = candidateCounts(words, k)
+    counts
+      .withColumn("share", col("n") / lit(math.max(total, 1L).toDouble))
+      .filter(col("share") > maxShare)
+      .select(col("word").as(keyCol), col("n"), col("share"))
+      .orderBy(col("share").desc, col(keyCol))
   }
 }

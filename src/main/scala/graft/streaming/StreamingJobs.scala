@@ -95,7 +95,10 @@ object StreamingJobs {
       .select($"doc_id", $"kind", $"media_ref", $"offset")
       .join(media.filter(length($"bytes") <= cfg.maxMediaBytes), Seq("media_ref"), "left")
       .select($"doc_id", $"media_ref", $"offset", $"bytes")
-      .as[(String, String, Int, Array[Byte])]
+      // Option[Int], not Int: a null span offset (nullable in parquet)
+      // must flow through like the batch path does, not kill the
+      // micro-batch in the deserializer
+      .as[(String, String, Option[Int], Array[Byte])]
       .mapPartitions { it =>
         val engine = graft.ocr.EnginePool.get(mode, language)
         val memo = scala.collection.mutable.HashMap.empty[String, (String, Double)]
@@ -149,12 +152,27 @@ object StreamingJobs {
               evs.foreach { e =>
                 if (cur == null)
                   cur = SessionAgg(uid, 1L, e.value, e.ts, e.ts)
-                else if (e.ts.getTime - cur.last_ts.getTime > SESSION_GAP_MS) {
-                  closed += cur
-                  cur = SessionAgg(uid, 1L, e.value, e.ts, e.ts)
-                } else
-                  cur = cur.copy(n_events = cur.n_events + 1,
-                    total_value = cur.total_value + e.value, last_ts = e.ts)
+                else {
+                  val t = e.ts.getTime
+                  if (t - cur.last_ts.getTime > SESSION_GAP_MS) {
+                    closed += cur
+                    cur = SessionAgg(uid, 1L, e.value, e.ts, e.ts)
+                  } else if (t < cur.first_ts.getTime - SESSION_GAP_MS) {
+                    // late-but-in-watermark straggler gapped BEFORE the
+                    // open session: its own closed session, never a
+                    // merge (matching the globally-sorted batch twin)
+                    closed += SessionAgg(uid, 1L, e.value, e.ts, e.ts)
+                  } else {
+                    // merge without letting a late event move the
+                    // session bounds backward: last_ts must stay the
+                    // MAX seen or the next on-time event measures its
+                    // gap against a rewound clock and splits spuriously
+                    cur = cur.copy(n_events = cur.n_events + 1,
+                      total_value = cur.total_value + e.value,
+                      first_ts = if (t < cur.first_ts.getTime) e.ts else cur.first_ts,
+                      last_ts = if (t > cur.last_ts.getTime) e.ts else cur.last_ts)
+                  }
+                }
               }
               state.update(cur)
               // clamp to strictly after the current event-time watermark:

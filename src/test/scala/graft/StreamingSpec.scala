@@ -56,6 +56,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(u2.length == 1 && u2(0).getLong(1) == 1L && u2(0).getDouble(2) == 16.0)
   }
 
+  test("cross-batch late event merges without rewinding the session clock") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingJobs.Event](
+      spark)
+    val q = StreamingJobs.sessionize(src.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_sessions")
+      .start()
+    try {
+      // batch 1: on-time event at min 60 -> watermark advances to min 0
+      src.addData(StreamingJobs.Event(1L, ts(60), "click", 4.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event (min 50, within the 1h watermark) plus an
+      // on-time one at min 85. True sequence 50,60,85 has max gap 25min
+      // -> ONE session; the pre-fix code rewound last_ts to 50 and then
+      // split at 85 (35 > 30)
+      src.addData(
+        StreamingJobs.Event(1L, ts(50), "click", 1.0),
+        StreamingJobs.Event(1L, ts(85), "click", 2.0))
+      q.processAllAvailable()
+      // batch 3: watermark driver closes everything for user 1
+      src.addData(StreamingJobs.Event(99L, ts(600), "tick", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.sql("SELECT * FROM late_sessions WHERE user_id = 1").collect()
+    assert(out.length == 1, s"expected one merged session, got ${out.length}")
+    assert(out(0).getLong(1) == 3L && out(0).getDouble(2) == 7.0)
+    assert(out(0).getTimestamp(3) == ts(50) && out(0).getTimestamp(4) == ts(85))
+  }
+
   test("batch sessionize twin agrees with the streaming operator on closed sessions") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000)
