@@ -1959,8 +1959,10 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id,
         |  len(regexp_extract_all(t, 'https?://[^\s]+'))::BIGINT AS n_urls,
-        |  len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_emails,
-        |  len(regexp_extract_all(t, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+        |  len(regexp_extract_all(regexp_replace(t, 'https?://[^\s]+', ' ', 'g'),
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(regexp_replace(t, 'https?://[^\s]+', ' ', 'g'),
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
         |  regexp_replace(regexp_replace(regexp_replace(t,
         |    'https?://[^\s]+', '<URL>', 'g'),
         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),

@@ -200,7 +200,18 @@ object Glyphs {
         }
         salt += 1
       }
-      if (!found) { out(i) = bestCand; outBlurs(i) = bestBlurs }
+      if (!found) {
+        // bestCand/bestBlurs are only set for candidates that passed
+        // every gate; if NO candidate did (a pathological future seed),
+        // fall back to the last deterministic candidate rather than a
+        // blank 0L glyph with null blur forms (which would silently
+        // decode as paper and NPE the next glyph's distance loop)
+        if (bestBlurs == null) {
+          bestCand = candidate(Det.mix64(alphabet.charAt(i).toLong * 7919L ^ langSeed, 0L))
+          bestBlurs = blurredForms(bestCand) :+ adaptiveForm(bestCand)
+        }
+        out(i) = bestCand; outBlurs(i) = bestBlurs
+      }
       i += 1
     }
     out

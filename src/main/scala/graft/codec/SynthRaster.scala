@@ -142,7 +142,11 @@ object SynthRaster {
       ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
     val h = ((bytes(4) & 0xff) << 24) | ((bytes(5) & 0xff) << 16) |
       ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
-    require(bytes.length == 8 + w * h, s"raster size mismatch: ${bytes.length} vs $w x $h")
+    // LONG arithmetic: a corrupt header whose w*h wraps Int (e.g.
+    // 65536 x 65536 -> 0) must fail the size check, not pass it with
+    // an empty pixel array and crash downstream
+    require(w > 0 && h > 0 && bytes.length.toLong == 8L + w.toLong * h,
+      s"raster size mismatch: ${bytes.length} vs $w x $h")
     val px = new Array[Int](w * h)
     var i = 0
     while (i < px.length) { px(i) = bytes(8 + i) & 0xff; i += 1 }

@@ -30,9 +30,13 @@ object Nav {
   def previousI(cur: Int): Int = math.max(cur - 1, 0)
   def gotoI(pos: Int, total: Int): Int = math.max(0, math.min(pos, total - 1))
 
-  /** The span at a clamped position (element_at is 1-based). */
+  /** The span at a clamped position (element_at is 1-based). An empty
+    * array yields null: the clamp alone would still probe index 1,
+    * which is a hard INVALID_ARRAY_INDEX error under ANSI mode
+    * (Spark 4's default), not a null.
+    */
   def spanAt(spans: Column, pos: Column): Column =
-    element_at(spans, goto(pos, size(spans)) + 1)
+    when(size(spans) > 0, element_at(spans, goto(pos, size(spans)) + 1))
 
   /** Column navigation materializes the column's paragraphs by id —
     * the id semi-join of `app.py:1810-1812`, as an array filter.

@@ -20,11 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** THE normalized-text form shared by every "same document" key
+    * (md5 fingerprint here, rolling fingerprint in TextAnalysis):
+    * lowercase + whitespace collapse + trim. One definition — the two
+    * fingerprints must never disagree about what "the same text" is.
+    */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
   /** Normalized-text key used by exact dedup / fingerprinting:
-    * lowercase + whitespace collapse + trim, md5.
+    * [[normalizedText]], md5.
     */
   def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+    md5(normalizedText(text))
 
   /** Exact dedup: one row per distinct normalized content with the
     * group size and the keeper (minimum doc_id).

@@ -62,7 +62,10 @@ object Html {
     */
   def blocks(pages: DataFrame, htmlCol: Column, idCol: Column): DataFrame =
     pages
-      .select(idCol.as("doc_id"), posexplode(split(htmlCol, blockSplitRe)))
+      // coalesce: split(null) is null and posexplode(null) emits ZERO
+      // rows, which would drop a null-html page from the output
+      // entirely — the contract is one row per input page
+      .select(idCol.as("doc_id"), posexplode(split(coalesce(htmlCol, lit("")), blockSplitRe)))
       .withColumnRenamed("pos", "block_pos")
       .withColumn("block_text", stripHtml(col("col")))
       .withColumn("n_words",

@@ -28,8 +28,10 @@ object TextAnalysis {
   def tokenCountWs(text: Column): Column =
     size(filter(split(text, "\\s+"), t => t =!= ""))
 
-  /** BPE-ish subword count: word-internal splits at letter/digit
-    * boundaries plus length/4 long-word pieces — a deterministic
+  /** BPE-ish subword count: word-internal splits BEFORE each digit run
+    * and before each non-alphanumeric (the literal regex below — a
+    * digit->letter transition does NOT split: "x86to64" counts as
+    * x|86to|64), plus length/4 long-word pieces — a deterministic
     * stand-in for a real tokenizer's token count.
     */
   def tokenCountBpe(text: Column): Column =
@@ -213,10 +215,14 @@ object TextAnalysis {
   def piiScrub(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
     val t = col(textCol)
+    // counts reconcile with placeholders: the replacement chain rewrites
+    // URLs FIRST, so an email/phone embedded in a URL never gets its own
+    // placeholder — count them on the URL-stripped text to match
+    val noUrl = regexp_replace(t, urlRe, " ")
     docs.select(col(idCol).as("doc_id"),
       regexp_count(t, lit(urlRe)).cast("long").as("n_urls"),
-      regexp_count(t, lit(emailRe)).cast("long").as("n_emails"),
-      regexp_count(t, lit(phoneRe)).cast("long").as("n_phones"),
+      regexp_count(noUrl, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(noUrl, lit(phoneRe)).cast("long").as("n_phones"),
       regexp_replace(regexp_replace(regexp_replace(t,
         urlRe, "<URL>"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>").as("scrubbed"))
   }
@@ -291,7 +297,7 @@ object TextAnalysis {
     */
   def rollingFingerprint(text: Column): Column =
     aggregate(
-      split(trim(regexp_replace(lower(text), "\\s+", " ")), ""),
+      split(Dedup.normalizedText(text), ""),
       lit(0L),
       // mod 2^31-1 each step: bounded (no ANSI overflow), same rolling form
       (acc, ch) => pmod(acc * 1000003L + coalesce(ascii(ch).cast("long"), lit(0L)),

@@ -31,7 +31,15 @@ object Tables {
     else spark.read.parquet(table)
 
   def write(df: DataFrame, table: String, mode: String = "overwrite"): Unit =
-    if (useIceberg(table)) df.writeTo(table).createOrReplace()
+    if (useIceberg(table)) mode match {
+      // the Iceberg path must honor `mode` like the parquet path does —
+      // unconditional createOrReplace() would wipe a table a caller
+      // asked to append to
+      case "append" => df.writeTo(table).append()
+      case "overwrite" => df.writeTo(table).createOrReplace()
+      case m => throw new IllegalArgumentException(
+        s"unsupported Iceberg write mode '$m' (append | overwrite)")
+    }
     else df.write.mode(mode).parquet(table)
 
   def append(df: DataFrame, table: String): Unit =
