@@ -855,6 +855,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q80_temperature_mixture" -> ((s, dir) =>
+      // alpha-temperature mixture smoothing (the XLM-R p^alpha rule)
+      // at alpha = 0.5: one token agg, slice-sized normalization;
+      // share is round(6)-pinned before pow so both engines
+      // exponentiate an agreed value
+      graft.ops.Mixture.temperatureWeights(
+          s.read.parquet(p(dir, "documents")), alpha = 0.5)
+        .orderBy(col("source"))),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -1293,6 +1302,21 @@ object SparkEntry {
           s.read.parquet(p(dir, "documents")),
           merges = 50, vocabCap = 5000, minPair = 2L)
         .orderBy(col("rank"))
+    }),
+
+    "x31_count_min" -> ((s, dir) => {
+      // Count-Min point-frequency estimates (rows-only: the sketch's
+      // hash layout is not SQL-expressible; the never-under-counts
+      // guarantee and partitioning invariance are SketchesSpec-
+      // asserted). ONE hash aggregation builds the depth*width
+      // sketch; probes are answered from control-plane state.
+      val words = s.read.parquet(p(dir, "documents"))
+        .select(explode(graft.functions.GraftFunctions.tokenizeWords(
+          col("text"))).as("word"))
+      graft.ops.Sketches.cmsEstimates(words,
+          probes = Seq("the", "spark", "data", "quick", "zzz_absent"),
+          depth = 4, width = 16384)
+        .orderBy(col("word"))
     }),
 
     "x29_semantic_dedup" -> ((s, dir) => {
@@ -2881,6 +2905,28 @@ object SparkEntry {
         |  coalesce(e.entropy, 0.0) < 2.0 AS low_entropy
         |FROM d LEFT JOIN e USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the q65 token count; share is round(6)-pinned BEFORE pow and
+    // boost divides the already-round(6) weight by the pinned share,
+    // so every transcendental runs on engine-agreed inputs
+    "q80_temperature_mixture" ->
+      """WITH tok AS (
+        |  SELECT source, sum(len(list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> '')))::BIGINT
+        |    AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |sh AS (
+        |  SELECT source, n_tokens,
+        |    round(n_tokens::DOUBLE / sum(n_tokens::DOUBLE) OVER (), 6) AS share
+        |  FROM tok),
+        |q AS (SELECT *, pow(share, 0.5) AS qq FROM sh),
+        |wgt AS (
+        |  SELECT source, n_tokens, share,
+        |    round(qq / sum(qq) OVER (), 6) AS weight
+        |  FROM q)
+        |SELECT source, n_tokens, share, weight,
+        |  CASE WHEN share > 0 THEN round(weight / share, 6) ELSE 0.0 END AS boost
+        |FROM wgt ORDER BY source""".stripMargin,
 
     // same md5 uniform in both engines; the single ln rounds to 9
     // decimals BEFORE the top-k so the selection boundary agrees

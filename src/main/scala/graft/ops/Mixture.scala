@@ -103,4 +103,46 @@ object Mixture {
       .select(col(sliceCol), col("n_docs"), col("ce"), col("excess"),
         col("weight"))
   }
+
+  /** Temperature-scaled mixture weights — the multilingual-sampling
+    * alpha rule (exponentiated-share smoothing: mBERT's s_i^0.7,
+    * XLM-R's p_i^alpha with alpha = 0.3, mT5 likewise): the natural
+    * slice share p_s (its fraction of corpus tokens) is flattened to
+    *
+    *   w_s = p_s^alpha / sum_t p_t^alpha
+    *
+    * so low-resource slices are upsampled when alpha < 1 (alpha = 1
+    * keeps the natural mixture; alpha -> 0 approaches uniform). Emits
+    * per slice: token count, natural share, smoothed weight, and
+    * boost = w_s / p_s — the up/down-sampling multiplier a sampler
+    * (or [[tokenBudgetPlan]], fed these weights) must apply.
+    *
+    * Determinism contract (the [[doremiWeights]] pattern): the share
+    * is round(6)-pinned BEFORE pow — exponentiation of an already-
+    * agreed value — and weight/boost are round(6) after, so any
+    * engine reproduces the output despite last-ulp pow differences.
+    *
+    * Scale shape: ONE map-side-combine token aggregation over the
+    * corpus; everything downstream runs on the slice-count-sized
+    * model (the normalization window is single-partition but bounded
+    * by slice count, never data).
+    */
+  def temperatureWeights(docs: DataFrame, alpha: Double = 0.3,
+                         sliceCol: String = "source",
+                         textCol: String = "text"): DataFrame = {
+    require(alpha > 0.0, "alpha must be positive")
+    def toks(c: Column) = graft.functions.GraftFunctions.tokenizeWords(c)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    docs.groupBy(col(sliceCol))
+      .agg(sum(size(toks(col(textCol)))).cast("long").as("n_tokens"))
+      .withColumn("share",
+        round(col("n_tokens") / sum(col("n_tokens")).over(w), 6))
+      .withColumn("__q", pow(col("share"), lit(alpha)))
+      .withColumn("weight", round(col("__q") / sum(col("__q")).over(w), 6))
+      .withColumn("boost",
+        when(col("share") > 0, round(col("weight") / col("share"), 6))
+          .otherwise(lit(0.0)))
+      .select(col(sliceCol), col("n_tokens"), col("share"), col("weight"),
+        col("boost"))
+  }
 }

@@ -157,6 +157,100 @@ object Sketches {
       .select(col("word"), col("n"))
   }
 
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005),
+    * depth x width counters: every arriving key increments one
+    * counter per row (row j at column hash_j(key)), and a point
+    * estimate reads est(x) = min over rows of counter[j][h_j(x)].
+    * The minimum NEVER under-counts (every occurrence of x hit all
+    * of x's counters) and over-counts by at most (e/width) * N with
+    * probability 1 - e^-depth — the point-frequency companion to
+    * [[MisraGries]]: MG tracks only the top-k keys, CMS answers a
+    * frequency query for ANY key after one pass. Merge is element-
+    * wise counter addition — fully order- and partitioning-
+    * independent (spec-asserted), so at 100 TB this is one hash
+    * aggregation with fixed depth*width*8-byte state. Hashes are
+    * seeded MurmurHash3 string hashes — deterministic, no RNG.
+    *
+    * Buffer layout: flat Array[Long] of depth*width, row-major;
+    * zero is the empty array (allocated on first reduce) so an
+    * all-null group costs nothing.
+    */
+  class CountMin(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] with Serializable {
+    require(depth >= 1 && width >= 2, "depth >= 1, width >= 2")
+
+    override def zero: Array[Long] = Array.empty[Long]
+
+    override def reduce(b: Array[Long], w: String): Array[Long] =
+      if (w == null) b
+      else {
+        val buf = if (b.length == depth * width) b else new Array[Long](depth * width)
+        var j = 0
+        while (j < depth) {
+          buf(j * width + CountMin.slot(w, j, width)) += 1L
+          j += 1
+        }
+        buf
+      }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.length == 0) b
+      else if (b.length == 0) a
+      else {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+
+    override def finish(b: Array[Long]): Array[Long] =
+      if (b.length == depth * width) b else new Array[Long](depth * width)
+
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  object CountMin {
+    /** Row-j counter column for a key: seeded MurmurHash3 (the same
+      * deterministic string hash on every JVM), sign-cleared, mod
+      * width. */
+    private[ops] def slot(key: String, j: Int, width: Int): Int =
+      (scala.util.hashing.MurmurHash3.stringHash(key, 0x9e3779b9 + j) &
+        Int.MaxValue) % width
+
+    /** Point estimate from a finished sketch: min over rows. */
+    def estimate(sketch: Array[Long], depth: Int, width: Int, key: String): Long = {
+      require(sketch.length == depth * width, "sketch shape mismatch")
+      var best = Long.MaxValue
+      var j = 0
+      while (j < depth) {
+        val c = sketch(j * width + slot(key, j, width))
+        if (c < best) best = c
+        j += 1
+      }
+      best
+    }
+  }
+
+  /** One-pass CMS frequency estimates for a fixed probe set: builds
+    * the sketch in ONE hash aggregation over `words` (a single `word`
+    * column; nulls skipped), then answers the probes driver-side —
+    * the sketch is depth*width longs of control-plane state (a Lloyd-
+    * means-sized collect, never data). Output: (word, est) per probe,
+    * where est >= the true count always, and est <= true + (e/width)*N
+    * with probability 1 - e^-depth per probe.
+    */
+  def cmsEstimates(words: DataFrame, probes: Seq[String],
+                   depth: Int = 4, width: Int = 8192): DataFrame = {
+    require(probes.nonEmpty, "probes must be non-empty")
+    val cm = udaf(new CountMin(depth, width), Encoders.STRING)
+    val sketch = words.agg(cm(col("word")).as("sk")).head().getSeq[Long](0).toArray
+    val spark = words.sparkSession
+    import spark.implicits._
+    probes.distinct.sorted
+      .map(p => (p, CountMin.estimate(sketch, depth, width, p)))
+      .toDF("word", "est")
+  }
+
   /** Pre-flight skew audit for key-partitioned operators (asofJoin,
     * sessionize, any window keyed by user/entity): every key holding
     * more than `maxShare` of the rows, with its exact count and

@@ -63,4 +63,33 @@ class MixtureSpec extends AnyFunSuite {
       ref, eta = 1.0).collect().map(_.getDouble(4))
     assert(u.forall(x => math.abs(x - 0.5) < 1e-5))
   }
+
+  test("temperature weights: alpha=1 keeps natural shares, alpha<1 flattens toward uniform, boost is the sampling multiplier") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    // token inventory: big=16, small=4 -> natural shares 0.8 / 0.2
+    val docs = Seq(
+      ("big", "a b c d e f g h i j k l m n o p"),
+      ("small", "q r s t")
+    ).toDF("source", "text")
+    def run(alpha: Double) = Mixture.temperatureWeights(docs, alpha)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val nat = run(1.0)
+    assert(nat("big") == ((16L, 0.8, 0.8, 1.0)), s"alpha=1 natural: $nat")
+    assert(nat("small") == ((4L, 0.2, 0.2, 1.0)))
+    // alpha = 0.5: w ~ sqrt(p) renormalized -> sqrt(.8)/(sqrt(.8)+sqrt(.2))
+    val flat = run(0.5)
+    val wBig = math.sqrt(0.8) / (math.sqrt(0.8) + math.sqrt(0.2))
+    assert(math.abs(flat("big")._3 - wBig) < 1e-5, s"alpha=.5: $flat")
+    assert(math.abs(flat("big")._3 + flat("small")._3 - 1.0) < 1e-5,
+      "weights sum to 1")
+    // flattening: the low-resource slice is upsampled, the big one down
+    assert(flat("small")._4 > 1.0 && flat("big")._4 < 1.0)
+    // order preserved (alpha > 0 is monotone in share)
+    assert(flat("big")._3 > flat("small")._3)
+    // boost IS weight/share of the emitted (rounded) columns
+    assert(math.abs(flat("small")._4 - flat("small")._3 / flat("small")._2) < 1e-5)
+  }
 }

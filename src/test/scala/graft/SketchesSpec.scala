@@ -79,4 +79,34 @@ class SketchesSpec extends AnyFunSuite {
     assert(quiet.count() == 0L)
     assert(quiet.columns.toSeq == Seq("user_id", "n", "share"))
   }
+
+  test("CountMin never under-counts, is partitioning-invariant, and skips nulls") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    // skewed multiset with known exact counts + nulls in the stream
+    val exact = Map("alpha" -> 400L, "beta" -> 120L, "gamma" -> 7L, "delta" -> 1L)
+    val rows: Seq[String] =
+      exact.toSeq.flatMap { case (w, c) => Seq.fill(c.toInt)(w) } ++
+        (0 until 2000).map(i => s"noise${i % 800}") ++
+        Seq.fill(5)(null.asInstanceOf[String])
+    val words = rows.toDF("word").repartition(8)
+    val probes = exact.keys.toSeq :+ "never_seen"
+    def est(df: org.apache.spark.sql.DataFrame, width: Int) =
+      Sketches.cmsEstimates(df, probes, depth = 4, width = width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e = est(words, 4096)
+    // the CMS guarantee: min-of-counters NEVER under-counts
+    exact.foreach { case (w, c) =>
+      assert(e(w) >= c, s"$w under-counted: ${e(w)} < $c")
+    }
+    assert(e("never_seen") >= 0L)
+    // at width >> distinct (804 keys), collisions are absent for this
+    // deterministic corpus: estimates are exact, absent key reads 0
+    val wide = est(words, 1 << 16)
+    exact.foreach { case (w, c) => assert(wide(w) == c, s"$w: ${wide(w)} != $c") }
+    assert(wide("never_seen") == 0L)
+    // merge is counter addition -> identical under ANY partitioning
+    assert(est(words.repartition(1), 4096) == e)
+    assert(est(words.repartition(32), 4096) == e)
+  }
 }
