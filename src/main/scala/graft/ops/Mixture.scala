@@ -135,10 +135,17 @@ object Mixture {
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     docs.groupBy(col(sliceCol))
       .agg(sum(size(toks(col(textCol)))).cast("long").as("n_tokens"))
+      // zero-token corpus: 0/0 would read NaN — report all-zero
+      // columns instead (the tokenBudgetPlan empty-slice convention)
       .withColumn("share",
-        round(col("n_tokens") / sum(col("n_tokens")).over(w), 6))
+        when(sum(col("n_tokens")).over(w) > 0,
+          round(col("n_tokens") / sum(col("n_tokens")).over(w), 6))
+          .otherwise(lit(0.0)))
       .withColumn("__q", pow(col("share"), lit(alpha)))
-      .withColumn("weight", round(col("__q") / sum(col("__q")).over(w), 6))
+      .withColumn("weight",
+        when(sum(col("__q")).over(w) > 0,
+          round(col("__q") / sum(col("__q")).over(w), 6))
+          .otherwise(lit(0.0)))
       .withColumn("boost",
         when(col("share") > 0, round(col("weight") / col("share"), 6))
           .otherwise(lit(0.0)))

@@ -91,5 +91,10 @@ class MixtureSpec extends AnyFunSuite {
     assert(flat("big")._3 > flat("small")._3)
     // boost IS weight/share of the emitted (rounded) columns
     assert(math.abs(flat("small")._4 - flat("small")._3 / flat("small")._2) < 1e-5)
+    // zero-token corpus: all-zero columns, never NaN
+    val empty = Mixture.temperatureWeights(
+      Seq(("a", ""), ("b", "")).toDF("source", "text"), 0.5).collect()
+    assert(empty.forall(r => r.getLong(1) == 0L && r.getDouble(2) == 0.0 &&
+      r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
   }
 }
