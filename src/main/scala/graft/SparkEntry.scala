@@ -1232,12 +1232,14 @@ object SparkEntry {
     }),
 
     "x20_embed_neardup" -> ((s, dir) => {
-      // embedding-cosine near-dup pairs (rows-only: LSH index is
-      // approximate by contract; recall is spec-asserted on planted
-      // clusters). The testdata embeddings are i.i.d. noise with no
-      // near-dups, so duplicates are planted: exact copies of the 10
-      // smallest vec_ids at id+1000000 — the operator must report
-      // exactly those pairs at cos ~1.0 and nothing cross-noise.
+      // embedding-cosine near-dup pairs, DuckDB-oracled on the
+      // planted-copy contract (the x29 rationale): exact copies of
+      // the 10 smallest vec_ids at id+1000000 are the ONLY pairs at
+      // cos >= 0.99 (max natural pairwise cosine ~0.51 in this
+      // corpus), identical vectors agree on every RP band hash so
+      // banding can never miss them, and round(cos,4) pins their
+      // cosine to exactly 1.0. Recall on merely-NEAR (non-identical)
+      // duplicates stays approximate-by-contract (DedupSpec).
       val emb = s.read.parquet(p(dir, "embeddings")).select(col("vec_id"), col("embedding"))
       val dim = embDim(s, dir)
       val planted = emb.filter(col("vec_id") < 10)
@@ -1305,27 +1307,49 @@ object SparkEntry {
     }),
 
     "x31_count_min" -> ((s, dir) => {
-      // Count-Min point-frequency estimates (rows-only: the sketch's
-      // hash layout is not SQL-expressible; the never-under-counts
-      // guarantee and partitioning invariance are SketchesSpec-
-      // asserted). ONE hash aggregation builds the depth*width
-      // sketch; probes are answered from control-plane state.
+      // Count-Min point-frequency estimates, DuckDB-oracled on the
+      // sketch's GUARANTEE (the q38/x26/x28 pattern): est never
+      // under-counts, and est <= exact + ceil(e*N/width) — the
+      // depth=4 Markov bound, deterministic here (seeded MurmurHash3,
+      // fixed corpus), so the oracle is the all-true probe frame. The
+      // hash layout itself is not SQL-expressible; exactness at
+      // width >> distinct, merge laws, and partitioning invariance
+      // stay SketchesSpec-asserted. ONE hash aggregation builds the
+      // depth*width sketch (probes answered from control-plane
+      // state); the exact twin + token total N come from one more
+      // scan whose group key collapses every non-probe word to null —
+      // the agg result is <= probes+1 rows, never vocabulary-sized.
+      val probes = Seq("the", "spark", "data", "quick", "zzz_absent")
+      val depth = 4; val width = 16384
       val words = s.read.parquet(p(dir, "documents"))
         .select(explode(graft.functions.GraftFunctions.tokenizeWords(
           col("text"))).as("word"))
-      graft.ops.Sketches.cmsEstimates(words,
-          probes = Seq("the", "spark", "data", "quick", "zzz_absent"),
-          depth = 4, width = 16384)
+      val est = graft.ops.Sketches.cmsEstimates(words, probes, depth, width)
+      val byProbe = words
+        .groupBy(when(col("word").isin(probes: _*), col("word")).as("word"))
+        .agg(count(lit(1)).as("exact"))
+      val n = byProbe.agg(coalesce(sum(col("exact")), lit(0L))).head().getLong(0)
+      val bound = math.ceil(math.E * n / width).toLong
+      est.join(byProbe, Seq("word"), "left")
+        .na.fill(0L, Seq("exact"))
+        .select(col("word"),
+          (col("est") >= col("exact")).as("never_under"),
+          (col("est") <= col("exact") + lit(bound)).as("within_bound"))
         .orderBy(col("word"))
     }),
 
     "x29_semantic_dedup" -> ((s, dir) => {
-      // SemDeDup pairs (rows-only: k-means bucketing is approximate
-      // by contract; exactness is spec-asserted on planted clusters).
-      // Same planted-copy scheme as x20: exact copies of the 10
-      // smallest vec_ids at id+1000000 — cluster bucketing must put
-      // each copy with its original (identical vectors share a
-      // nearest centroid) and report exactly those pairs at cos 1.0.
+      // SemDeDup pairs, DuckDB-oracled on the planted-copy contract:
+      // exact copies of the 10 smallest vec_ids at id+1000000 are the
+      // ONLY pairs at cos >= 0.99 in this corpus (measured max
+      // natural pairwise cosine ~0.51 at every oracle SF), identical
+      // vectors share a nearest centroid under ANY codebook
+      // (deterministic assignment), and round(cos,4) pins identical-
+      // vector cosine to exactly 1.0 — so the full output frame is
+      // SQL-recomputable. Cluster QUALITY on non-identical neighbors
+      // stays approximate-by-contract (DedupSpec planted clusters);
+      // the cluster-id column is diagnostic, not part of the
+      // contract, and stays out of the driver projection.
       val emb = s.read.parquet(p(dir, "embeddings"))
         .select(col("vec_id"), col("embedding"))
       val dim = embDim(s, dir)
@@ -1333,6 +1357,7 @@ object SparkEntry {
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       Similarity.semanticDedup(emb.unionByName(planted), dim,
           nClusters = 8, threshold = 0.99)
+        .select(col("id_a"), col("id_b"), col("cos"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -2621,6 +2646,33 @@ object SparkEntry {
         |FROM cum CROSS JOIN p
         |WHERE cum >= (permille * n + 999) // 1000
         |GROUP BY 1, 2, 3 ORDER BY source, permille""".stripMargin,
+
+    // the banded-RP-LSH planted-copy contract, checked exactly (the
+    // x29 rationale: copies are the only threshold pairs, banding
+    // cannot miss identical vectors, round(cos,4) pins 1.0)
+    "x20_embed_neardup" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+        |  CAST(1.0 AS DOUBLE) AS cos
+        |FROM embeddings WHERE vec_id < 10
+        |ORDER BY id_a""".stripMargin,
+
+    // the SemDeDup planted-copy contract, checked exactly: the 10
+    // planted copies are the only pairs at the threshold (max natural
+    // pairwise cosine ~0.51 in this corpus) and identical vectors pin
+    // round(cos,4) to 1.0
+    "x29_semantic_dedup" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+        |  CAST(1.0 AS DOUBLE) AS cos
+        |FROM embeddings WHERE vec_id < 10
+        |ORDER BY id_a""".stripMargin,
+
+    // the Count-Min guarantee, checked: never under, over by at most
+    // ceil(e*N/width) — the all-true probe frame (q38/x26/x28 pattern)
+    "x31_count_min" ->
+      """SELECT word, TRUE AS never_under, TRUE AS within_bound
+        |FROM (VALUES ('data'), ('quick'), ('spark'), ('the'),
+        |             ('zzz_absent')) t(word)
+        |ORDER BY word""".stripMargin,
 
     // the DDSketch alpha-relative-error guarantee, checked: the oracle
     // is the all-true (source, permille) frame (q38/x26 pattern)
