@@ -379,11 +379,15 @@ object Bench {
     val ordered = head ++ SparkEntry.queries.keys.toSeq.filterNot(head.contains).sorted
     // adaptive sweep budget: the whole bench must fit its window even
     // when a loaded host stretched the pairs — never less than 60s
-    // (x01/x02 always run), never more than the ceiling below
-    // 240s ceiling: the sweep now covers 100+ queries (~90s quiet at
-    // sf0.1 after warm-up); the 600s envelope is self-imposed head-room,
-    // not a driver limit — x01/x02 still always run via the 60s floor
-    val sweepBudgetS = math.max(60L, math.min(240L, 600L - elapsedS))
+    // (x01/x02 always run), never more than the ceiling below.
+    // 360s ceiling / 900s envelope (raised from 240/600 after three
+    // runs where quiet pairs + a mid-sweep load burst left ~170s for
+    // 111 queries and half the sweep reported "skipped"): a quiet
+    // sweep needs ~90-120s, so the ceiling is ~3x quiet — a burst can
+    // double query times without mass-skipping. Both are self-imposed
+    // head-room, not a driver limit — x01/x02 still always run via
+    // the 60s floor.
+    val sweepBudgetS = math.max(60L, math.min(360L, 900L - elapsedS))
     val deadline = System.nanoTime() + sweepBudgetS * 1000000000L
     // per-query HARD cap (round-2 lesson: the deadline only gated query
     // *starts*; one pathological query ran 151 s solo and blew the
