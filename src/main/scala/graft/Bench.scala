@@ -43,6 +43,12 @@ object Bench {
     // scan splits must never cap kernel parallelism: the corpus files
     // are small relative to per-row kernel cost
     .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
+    // the sweep runs 100+ queries in one JVM; the default 30min
+    // periodic-cleaner GC never fires inside a ~3min sweep, so
+    // unreachable checkpoint/broadcast/shuffle state from earlier
+    // queries piles onto later ones (q43 measured 57s in-sweep vs
+    // 6-20s solo — pure residue pressure, not query cost)
+    .config("spark.cleaner.periodicGC.interval", "30s")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -410,6 +416,13 @@ object Bench {
         // while its future was still building the stream) — stop any
         // leftover stream before timing this query
         s4.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+        // release the previous query's persisted state (localCheckpoint
+        // blocks) so this query measures ITS cost, not its
+        // predecessors' storage residue; completed queries never reuse
+        // their frames, and a cancelled zombie losing its checkpoint
+        // just fails faster inside its already-abandoned future
+        s4.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(r => try { r.unpersist(false); () } catch { case _: Throwable => () })
         val t0 = System.nanoTime()
         val group = s"q-$name"
         // closes the cancel/setJobGroup race: if the timeout fires
