@@ -864,6 +864,30 @@ object SparkEntry {
           s.read.parquet(p(dir, "documents")), alpha = 0.5)
         .orderBy(col("source"))),
 
+    "q81_lsh_recall_audit" -> ((s, dir) => {
+      // banded-LSH expected-recall audit: the MMDS S-curve
+      // P(detect) = 1-(1-j^r)^b evaluated at each VERIFIED pair's
+      // exact n-gram Jaccard (x08's deterministic pair set), under
+      // the banding config x04 actually ships (k=32, bands=8 ->
+      // r=4). Answers "what would the shipped banding miss among
+      // known near-dups?" BEFORE re-running a 10^12-doc dedup with
+      // new parameters — the parameter-space companion to the
+      // lshOversizedBuckets runtime audit. jaccard is round(4)-pinned
+      // and p_detect round(6)-pinned, so the DuckDB oracle (which
+      // reads Verify's own x08 dump) exponentiates engine-agreed
+      // values (the q80 pinned-pow contract).
+      val docs = s.read.parquet(p(dir, "documents"))
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids
+        .filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 250).as("id_b"))
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      graft.ops.Dedup.ngramJaccard(docs, pairs)
+        .withColumn("p_detect",
+          graft.ops.Dedup.lshDetectionProb(col("jaccard"), bands = 8, rowsPerBand = 4))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -2979,6 +3003,15 @@ object SparkEntry {
         |SELECT source, n_tokens, share, weight,
         |  CASE WHEN share > 0 THEN round(weight / share, 6) ELSE 0.0 END AS boost
         |FROM wgt ORDER BY source""".stripMargin,
+
+    // the MMDS S-curve on the x08 verified-pair dump: jaccard arrives
+    // round(4)-pinned from the (already hash-matched) x08 result, so
+    // both engines exponentiate an agreed value; p_detect rounds to 6
+    "q81_lsh_recall_audit" ->
+      """SELECT id_a, id_b, jaccard,
+        |  round(1 - pow(1 - pow(jaccard, 4), 8), 6) AS p_detect
+        |FROM '__VERIFY_OUT__/x08_ngram_jaccard/*.parquet'
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // same md5 uniform in both engines; the single ln rounds to 9
     // decimals BEFORE the top-k so the selection boundary agrees

@@ -141,6 +141,28 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > maxBucket)
 
+  /** Banded-LSH detection probability — the MMDS S-curve (Leskovec,
+    * Rajaraman & Ullman, Mining of Massive Datasets §3.4): a pair
+    * whose signatures agree with probability `sim` (≈ its Jaccard
+    * similarity) is caught by (bands × rowsPerBand) banding with
+    *
+    *   P(detect) = 1 − (1 − sim^rowsPerBand)^bands
+    *
+    * The parameter-audit companion to [[minhashLsh]]'s runtime audits
+    * ([[lshOversizedBuckets]]): oversized-bucket audits report what the
+    * CAP excluded; this reports what the BANDING ITSELF is expected to
+    * miss at each similarity level — apply it to a verified pair set
+    * ([[ngramJaccard]]) to get the expected recall of a shipped config
+    * on known near-dups before re-running a 10^12-doc dedup with new
+    * parameters. Crossover threshold s* ≈ (1/bands)^(1/rowsPerBand).
+    * Output round(6)-pinned on a round(4)-pinned input so both SQL
+    * engines agree (the q80 pinned-pow contract).
+    */
+  def lshDetectionProb(sim: Column, bands: Int, rowsPerBand: Int): Column = {
+    require(bands >= 1 && rowsPerBand >= 1, "bands >= 1, rowsPerBand >= 1")
+    round(lit(1.0) - pow(lit(1.0) - pow(sim, lit(rowsPerBand)), lit(bands)), 6)
+  }
+
   /** MinHash + LSH banding near-duplicate pairs.
     *
     * k hashes split into `bands` bands of `k/bands` rows; docs sharing

@@ -383,6 +383,31 @@ class DedupSpec extends AnyFunSuite {
     assert(pq.length == 2)
   }
 
+  test("lshDetectionProb: hand-computed S-curve values, endpoints, monotone in similarity") {
+    import spark.implicits._
+    val sims = Seq(0.0, 0.25, 0.5, 0.75, 1.0).toDF("s")
+    // b=3, r=2: p(0.5) = 1-(1-0.25)^3 = 0.578125; p(0)=0; p(1)=1
+    val got = sims
+      .withColumn("p", Dedup.lshDetectionProb(col("s"), bands = 3, rowsPerBand = 2))
+      .orderBy(col("s"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(got.map(_._1).sameElements(Array(0.0, 0.25, 0.5, 0.75, 1.0)))
+    val ps = got.map(_._2)
+    assert(ps(0) == 0.0 && ps(4) == 1.0)
+    assert(math.abs(ps(2) - 0.578125) < 1e-9)
+    // hand value at s=0.25: 1-(1-0.0625)^3 = 1-0.823974609375 = 0.176025 (round 6)
+    assert(math.abs(ps(1) - 0.176025) < 1e-9)
+    assert(ps.sliding(2).forall(w => w(0) <= w(1)), "S-curve must be monotone")
+    // the x04 shipped config (b=8, r=4) at its verify threshold 0.2:
+    // banding catches only ~1.3% of pairs at jaccard 0.2 — exactly why
+    // the audit exists (detection is for CANDIDATES; the 0.2 verify
+    // threshold prunes, it does not promise recall at 0.2)
+    val atThresh = Seq(0.2).toDF("s")
+      .select(Dedup.lshDetectionProb(col("s"), bands = 8, rowsPerBand = 4))
+      .head().getDouble(0)
+    assert(atThresh > 0.01 && atThresh < 0.02)
+  }
+
   test("minhashLsh rejects a band count that does not tile the signature") {
     import spark.implicits._
     val d = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
