@@ -888,6 +888,28 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q82_filter_agreement" -> ((s, dir) => {
+      // filter-swap audit: confusion counts + precision/recall/F1 +
+      // Cohen's kappa between the heuristic quality gate (q11's
+      // quality_score >= 0.5) and the char-entropy spam filter (q79's
+      // NOT low_entropy, same planted-spam corpus) — the measurement
+      // a curation run makes BEFORE replacing one filter with a
+      // cheaper one at 10^12 docs. One corpus scan per filter leg,
+      // five BIGINT counters cross the final shuffle; the DuckDB
+      // oracle composes Verify's own (hash-verified) q11/q79 dumps
+      // with the same pinned arithmetic.
+      val docs = s.read.parquet(p(dir, "documents"))
+      val a = TextAnalysis.qualityFeatures(docs)
+        .select(col("doc_id"), (col("quality_score") >= 0.5).as("pass_a"))
+      val planted = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(29)) === 7, repeat(lit("spark "), 40))
+          .otherwise(col("text")).as("text"))
+      val b = graft.ops.TextAnalysis.charEntropy(planted)
+        .select(col("doc_id"), (!col("low_entropy")).as("pass_b"))
+      graft.ops.Classifier.filterAgreement(
+        a.join(b, Seq("doc_id")), col("pass_a"), col("pass_b"))
+    }),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -3003,6 +3025,44 @@ object SparkEntry {
         |SELECT source, n_tokens, share, weight,
         |  CASE WHEN share > 0 THEN round(weight / share, 6) ELSE 0.0 END AS boost
         |FROM wgt ORDER BY source""".stripMargin,
+
+    // filter-agreement over Verify's own q11/q79 dumps: counts are
+    // BIGINT, every ratio rounds(6), composite terms (pe, f1, kappa)
+    // combine only already-rounded values; pe uses rounded marginal
+    // RATES (never n^2 products) — the Spark op's exact contract
+    "q82_filter_agreement" ->
+      """WITH a AS (SELECT doc_id, quality_score >= 0.5 AS pa
+        |           FROM '__VERIFY_OUT__/q11_quality_score/*.parquet'),
+        |b AS (SELECT doc_id, NOT low_entropy AS pb
+        |      FROM '__VERIFY_OUT__/q79_char_entropy/*.parquet'),
+        |j AS (SELECT pa, pb FROM a JOIN b USING (doc_id)),
+        |c AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN pa AND pb THEN 1 ELSE 0 END)::BIGINT AS n_both,
+        |    sum(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END)::BIGINT AS n_only_a,
+        |    sum(CASE WHEN NOT pa AND pb THEN 1 ELSE 0 END)::BIGINT AS n_only_b,
+        |    sum(CASE WHEN NOT pa AND NOT pb THEN 1 ELSE 0 END)::BIGINT AS n_neither
+        |  FROM j),
+        |r AS (
+        |  SELECT *,
+        |    round(n_both::DOUBLE / greatest(n_both + n_only_b, 1)::DOUBLE, 6) AS precision,
+        |    round(n_both::DOUBLE / greatest(n_both + n_only_a, 1)::DOUBLE, 6) AS recall,
+        |    round((n_both + n_neither)::DOUBLE / greatest(n, 1)::DOUBLE, 6) AS po,
+        |    round((n_both + n_only_a)::DOUBLE / greatest(n, 1)::DOUBLE, 6) AS pa_rate,
+        |    round((n_both + n_only_b)::DOUBLE / greatest(n, 1)::DOUBLE, 6) AS pb_rate
+        |  FROM c),
+        |e AS (
+        |  SELECT *,
+        |    round(pa_rate * pb_rate + (1.0 - pa_rate) * (1.0 - pb_rate), 6) AS pe
+        |  FROM r)
+        |SELECT n, n_both, n_only_a, n_only_b, n_neither, precision, recall,
+        |  CASE WHEN precision + recall = 0.0 THEN 0.0
+        |       ELSE round(2.0 * precision * recall / (precision + recall), 6)
+        |  END AS f1,
+        |  CASE WHEN pe = 1.0 THEN 0.0
+        |       ELSE round((po - pe) / (1.0 - pe), 6)
+        |  END AS kappa
+        |FROM e""".stripMargin,
 
     // the MMDS S-curve on the x08 verified-pair dump: jaccard arrives
     // round(4)-pinned from the (already hash-matched) x08 result, so

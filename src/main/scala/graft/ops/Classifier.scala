@@ -105,4 +105,54 @@ object Classifier {
       .select(col("band"), col("n"), col("n_pos"), col("mean_prob"),
         col("frac_pos"))
   }
+
+  /** Agreement audit between two boolean document filters — the
+    * pre-swap check before replacing filter A with a cheaper filter B
+    * on a 10^12-doc corpus: confusion counts, precision/recall/F1 of
+    * B against A-as-reference, and Cohen's kappa (chance-corrected
+    * agreement; Cohen 1960). One aggregation, one output row — the
+    * corpus is scanned once and only five BIGINT counters cross the
+    * shuffle.
+    *
+    * Cross-engine determinism: every ratio divides BIGINT counts and
+    * rounds(6); composite terms (pe, f1, kappa) combine ONLY
+    * already-rounded values, so both engines run each transcendental-
+    * free step on agreed inputs (the q80 pinned contract). Chance
+    * agreement uses rounded marginal rates (pe = pa*pb+(1-pa)*(1-pb)),
+    * never n^2 products — overflow-free at any corpus size. Degenerate
+    * cases are defined: pe = 1 (a constant filter pair) reports
+    * kappa 0; an empty B-positive or A-positive side clamps its
+    * denominator to 1 (precision/recall 0, the [[naiveBayesScore]]
+    * clamp convention).
+    */
+  def filterAgreement(docs: DataFrame, passA: Column, passB: Column): DataFrame = {
+    val a = passA.cast("boolean")
+    val b = passB.cast("boolean")
+    val counts = docs.agg(
+      count(lit(1)).as("n"),
+      sum(when(a && b, 1L).otherwise(0L)).as("n_both"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("n_only_a"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("n_only_b"),
+      sum(when(!a && !b, 1L).otherwise(0L)).as("n_neither"))
+    val nD = greatest(col("n"), lit(1L)).cast("double")
+    val withRates = counts
+      .withColumn("precision", round(col("n_both").cast("double") /
+        greatest(col("n_both") + col("n_only_b"), lit(1L)).cast("double"), 6))
+      .withColumn("recall", round(col("n_both").cast("double") /
+        greatest(col("n_both") + col("n_only_a"), lit(1L)).cast("double"), 6))
+      .withColumn("__po", round((col("n_both") + col("n_neither")).cast("double") / nD, 6))
+      .withColumn("__pa", round((col("n_both") + col("n_only_a")).cast("double") / nD, 6))
+      .withColumn("__pb", round((col("n_both") + col("n_only_b")).cast("double") / nD, 6))
+    withRates
+      .withColumn("f1", when(col("precision") + col("recall") === 0.0, 0.0)
+        .otherwise(round(lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall")), 6)))
+      .withColumn("__pe", round(col("__pa") * col("__pb") +
+        (lit(1.0) - col("__pa")) * (lit(1.0) - col("__pb")), 6))
+      .withColumn("kappa", when(col("__pe") === 1.0, 0.0)
+        .otherwise(round((col("__po") - col("__pe")) / (lit(1.0) - col("__pe")), 6)))
+      .select(col("n"), col("n_both"), col("n_only_a"), col("n_only_b"),
+        col("n_neither"), col("precision"), col("recall"), col("f1"),
+        col("kappa"))
+  }
 }

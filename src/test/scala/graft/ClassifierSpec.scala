@@ -60,4 +60,36 @@ class ClassifierSpec extends AnyFunSuite {
     // a perfectly separable scorer is perfectly calibrated at the ends
     assert(out(1)._4 <= out(2)._4 && out(1)._3 < out(2)._3)
   }
+
+  test("filterAgreement: hand-computed confusion, precision/recall/F1, Cohen's kappa; degenerate pairs defined") {
+    import spark.implicits._
+    // 10 docs: both=4, only_a=2, only_b=1, neither=3
+    // precision = 4/5 = 0.8, recall = 4/6 = 0.666667,
+    // f1 = 2*0.8*0.666667/1.466667 = 0.727273 (on rounded p/r),
+    // po = 0.7, pa = 0.6, pb = 0.5, pe = 0.3+0.2 = 0.5,
+    // kappa = (0.7-0.5)/0.5 = 0.4
+    val d = Seq(
+      (true, true), (true, true), (true, true), (true, true),
+      (true, false), (true, false),
+      (false, true),
+      (false, false), (false, false), (false, false)
+    ).toDF("a", "b")
+    val r = Classifier.filterAgreement(d, col("a"), col("b")).head()
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("n_both") == 4L &&
+      r.getAs[Long]("n_only_a") == 2L && r.getAs[Long]("n_only_b") == 1L &&
+      r.getAs[Long]("n_neither") == 3L)
+    assert(r.getAs[Double]("precision") == 0.8)
+    assert(r.getAs[Double]("recall") == 0.666667)
+    assert(math.abs(r.getAs[Double]("f1") -
+      math.round(2.0 * 0.8 * 0.666667 / (0.8 + 0.666667) * 1e6) / 1e6) < 1e-9)
+    assert(r.getAs[Double]("kappa") == 0.4)
+    // identical filters: kappa 1 when both rates are non-degenerate
+    val same = Seq((true, true), (false, false), (true, true)).toDF("a", "b")
+    val rs = Classifier.filterAgreement(same, col("a"), col("b")).head()
+    assert(rs.getAs[Double]("kappa") == 1.0 && rs.getAs[Double]("f1") == 1.0)
+    // constant filters: pe = 1 -> kappa defined as 0
+    val const = Seq((true, true), (true, true)).toDF("a", "b")
+    assert(Classifier.filterAgreement(const, col("a"), col("b"))
+      .head().getAs[Double]("kappa") == 0.0)
+  }
 }
