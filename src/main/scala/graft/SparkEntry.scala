@@ -910,6 +910,16 @@ object SparkEntry {
         a.join(b, Seq("doc_id")), col("pass_a"), col("pass_b"))
     }),
 
+    "q83_distinct_ngrams" -> ((s, dir) =>
+      // distinct-n corpus diversity per source (Li et al. 2016): low
+      // distinct-2/3 marks cross-document repetition (template farms)
+      // that per-doc gates miss. ONE scan for all three orders, one
+      // (source, n, gram) aggregation; exact countDistinct here IS
+      // the oracle (swap for KMV at 10^12 — scaladoc note)
+      graft.ops.TextAnalysis.distinctNgrams(
+          s.read.parquet(p(dir, "documents")), ns = Seq(1, 2, 3))
+        .orderBy(col("source"), col("n"))),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -3025,6 +3035,25 @@ object SparkEntry {
         |SELECT source, n_tokens, share, weight,
         |  CASE WHEN share > 0 THEN round(weight / share, 6) ELSE 0.0 END AS boost
         |FROM wgt ORDER BY source""".stripMargin,
+
+    // distinct-n diversity: same tokenizer pair as q07, same n-gram
+    // slice form as q44; ratio divides BIGINT counts and rounds(6)
+    "q83_distinct_ngrams" ->
+      """WITH tk AS (
+        |  SELECT source, list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, n.n AS n,
+        |    array_to_string(toks[u.i+1 : u.i+n.n], ' ') AS gram
+        |  FROM tk, (VALUES (1), (2), (3)) n(n),
+        |    LATERAL unnest(generate_series(0, len(toks) - n.n)) u(i)
+        |  WHERE len(toks) >= n.n)
+        |SELECT source, n, count(*)::BIGINT AS n_total,
+        |  count(DISTINCT gram)::BIGINT AS n_distinct,
+        |  round(count(DISTINCT gram)::DOUBLE
+        |        / greatest(count(*), 1)::DOUBLE, 6) AS ratio
+        |FROM g GROUP BY 1, 2 ORDER BY source, n""".stripMargin,
 
     // filter-agreement over Verify's own q11/q79 dumps: counts are
     // BIGINT, every ratio rounds(6), composite terms (pe, f1, kappa)

@@ -291,6 +291,46 @@ object TextAnalysis {
       .withColumn("low_entropy", col("entropy") < threshold)
   }
 
+  /** Corpus diversity audit — distinct-n (Li et al. 2016: the ratio
+    * of distinct to total n-gram occurrences). Low distinct-2/3 marks
+    * templated or repetitive slices (boilerplate farms, generated
+    * spam) that per-document gates like the Gopher lead-window stats
+    * can miss when the repetition is ACROSS documents; the slice-level
+    * companion to [[qualityFeatures]]'s per-doc signals.
+    *
+    * ONE corpus scan for every requested n (the per-n gram arrays
+    * concatenate into a single struct explode, tokenizing once) and
+    * one (group, n, gram) aggregation. Scale note: `countDistinct`
+    * over n-grams is the one two-phase aggregation here — at 10^12
+    * docs swap it for [[Sketches.KmvDistinct]] (mergeable, O(k)
+    * state); at oracle scale the exact form IS the oracle. Docs
+    * shorter than n contribute no n-grams (a diversity metric counts
+    * real n-grams only — unlike [[Dedup.shingles]], whose whole-doc
+    * degrade exists for dedup recall).
+    */
+  def distinctNgrams(docs: DataFrame, ns: Seq[Int] = Seq(1, 2, 3),
+                     textCol: String = "text",
+                     groupCol: String = "source"): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be >= 1")
+    val gramType = "array<struct<n:int,gram:string>>"
+    val perN = ns.distinct.sorted.map { n =>
+      when(size(col("__toks")) >= n,
+        transform(sequence(lit(0), size(col("__toks")) - n),
+          i => struct(lit(n).as("n"),
+            array_join(slice(col("__toks"), i + 1, lit(n)), " ").as("gram"))))
+        .otherwise(array().cast(gramType))
+    }
+    docs
+      .withColumn("__toks", graft.functions.GraftFunctions.tokenizeWords(col(textCol)))
+      .select(col(groupCol), explode(flatten(array(perN: _*))).as("g"))
+      .select(col(groupCol), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy(col(groupCol), col("n"))
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("gram")).as("n_distinct"))
+      .withColumn("ratio", round(col("n_distinct").cast("double") /
+        greatest(col("n_total"), lit(1L)).cast("double"), 6))
+      .select(col(groupCol), col("n"), col("n_total"), col("n_distinct"), col("ratio"))
+  }
+
   /** Rolling polynomial fingerprint (Rabin-Karp family) of the
     * normalized text — cheap locality-free doc identity; md5 variant in
     * [[Dedup.fingerprint]] for the SQL-oracle-friendly form.

@@ -97,4 +97,26 @@ class CurationSpec extends AnyFunSuite {
     assert(full(5L).getAs[Boolean]("keep") &&
       !full(5L).getAs[Boolean]("is_neardup_loser"))
   }
+
+  test("distinctNgrams: hand-computed totals/distincts per n; repetition lowers the ratio; short docs skip") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", "x y x y"),   // 1g: 4 tot 2 dist; 2g: "x y","y x","x y" -> 3 tot 2 dist; 3g: 2 tot 2 dist
+      ("a", "x"),         // contributes only one 1-gram (too short for 2/3-grams)
+      ("b", "p q r")      // all distinct at every n
+    ).toDF("source", "text")
+    val out = TextAnalysis.distinctNgrams(d, ns = Seq(1, 2, 3))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("a", 1)) == (5L, 2L, 0.4))
+    assert(out(("a", 2)) == (3L, 2L, 0.666667))
+    assert(out(("a", 3)) == (2L, 2L, 1.0))
+    assert(out(("b", 1)) == (3L, 3L, 1.0))
+    assert(out(("b", 2)) == (2L, 2L, 1.0))
+    assert(out(("b", 3)) == (1L, 1L, 1.0))
+    // a source whose docs are all shorter than n emits no (source, n) row
+    val short = Seq(("c", "solo")).toDF("source", "text")
+    val rows = TextAnalysis.distinctNgrams(short, ns = Seq(1, 2)).collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1))).toSet == Set(("c", 1)))
+  }
 }
