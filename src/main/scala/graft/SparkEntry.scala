@@ -920,6 +920,31 @@ object SparkEntry {
           s.read.parquet(p(dir, "documents")), ns = Seq(1, 2, 3))
         .orderBy(col("source"), col("n"))),
 
+    "q84_chunk_sliding" -> ((s, dir) =>
+      // context-window sharding: overlapping 32-token windows every
+      // 24 tokens (the eval-perplexity stride setting). Pure map-side
+      // — zero shuffles at any corpus size; trailing partial windows
+      // kept (n_tok < 32 marks them)
+      graft.ops.Chunking.slidingChunks(
+          s.read.parquet(p(dir, "documents")), window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    "q85_ols_gram" -> ((s, dir) => {
+      // per-source two-regressor least squares (n_chars ~ tokens +
+      // long-token count) as ONE codegen'd aggregation + closed-form
+      // Cramer solve — the fixed-dimension model-fit shape for 10^12
+      // rows: sufficient statistics are mergeable moments, the solve
+      // is per-GROUP scalar math
+      val t = graft.functions.GraftFunctions.tokenizeWords(col("text"))
+      val d = s.read.parquet(p(dir, "documents")).select(
+        col("source"), col("n_chars"),
+        size(t).cast("double").as("n_tok"),
+        size(filter(t, w => length(w) > 5)).cast("double").as("n_long"))
+      graft.ops.Regression.olsTwoFeature(
+          d, col("n_chars"), col("n_tok"), col("n_long"), keys = Seq("source"))
+        .orderBy(col("source"))
+    }),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -3054,6 +3079,51 @@ object SparkEntry {
         |  round(count(DISTINCT gram)::DOUBLE
         |        / greatest(count(*), 1)::DOUBLE, 6) AS ratio
         |FROM g GROUP BY 1, 2 ORDER BY source, n""".stripMargin,
+
+    "q84_chunk_sliding" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, u.i AS k
+        |  FROM tk, LATERAL unnest(generate_series(0, (len(toks)-1)//24)) u(i)
+        |  WHERE len(toks) > 0)
+        |SELECT doc_id, k::INT AS chunk_idx, (k*24)::BIGINT AS tok_start,
+        |  least(32, len(toks) - k*24)::BIGINT AS n_tok,
+        |  array_to_string(toks[k*24+1 : k*24+32], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // identical population moments on both engines (var_pop /
+    // covar_pop / avg), identical Cramer expressions over them, so
+    // the closed-form fit round-trips at 4 dp; the relative det
+    // guard is computed from the same moments on both sides
+    "q85_ols_gram" ->
+      """WITH f AS (
+        |  SELECT source, n_chars::DOUBLE AS y,
+        |    len(list_filter(string_split_regex(lower(text), '\W+'),
+        |        x -> x <> ''))::DOUBLE AS x1,
+        |    len(list_filter(list_filter(string_split_regex(lower(text), '\W+'),
+        |        x -> x <> ''), w -> length(w) > 5))::DOUBLE AS x2
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, count(*)::BIGINT AS n,
+        |    avg(y) AS my, avg(x1) AS m1, avg(x2) AS m2,
+        |    var_pop(x1) AS v11, covar_pop(x1, x2) AS v12, var_pop(x2) AS v22,
+        |    covar_pop(x1, y) AS c1, covar_pop(x2, y) AS c2, var_pop(y) AS vy
+        |  FROM f GROUP BY 1),
+        |s AS (
+        |  SELECT *,
+        |    (abs(v11*v22 - v12*v12) > 1e-12*v11*v22 AND vy > 0) AS ok,
+        |    (v22*c1 - v12*c2)/(v11*v22 - v12*v12) AS b1r,
+        |    (v11*c2 - v12*c1)/(v11*v22 - v12*v12) AS b2r
+        |  FROM a)
+        |SELECT source, n,
+        |  round(CASE WHEN ok THEN my - b1r*m1 - b2r*m2 END, 4) AS b0,
+        |  round(CASE WHEN ok THEN b1r END, 4) AS b1,
+        |  round(CASE WHEN ok THEN b2r END, 4) AS b2,
+        |  round(CASE WHEN ok THEN (b1r*c1 + b2r*c2)/vy END, 4) AS r2
+        |FROM s ORDER BY source""".stripMargin,
 
     // filter-agreement over Verify's own q11/q79 dumps: counts are
     // BIGINT, every ratio rounds(6), composite terms (pe, f1, kappa)
