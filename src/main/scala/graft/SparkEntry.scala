@@ -945,6 +945,51 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q86_ks_drift" -> ((s, dir) => {
+      // exact two-sample KS between every source pair on the token-
+      // count distribution — the shape-drift audit beside the KL/JSD
+      // content legs; D is integer-exact over the pooled value grid
+      val t = graft.functions.GraftFunctions.tokenizeWords(col("text"))
+      graft.ops.Distrib.ksTwoSample(
+          s.read.parquet(p(dir, "documents"))
+            .select(col("source"), size(t).cast("long").as("n_tok")),
+          "n_tok", "source")
+        .orderBy(col("slice_a"), col("slice_b"))
+    }),
+
+    "q87_upsert_latest_wins" -> ((s, dir) => {
+      // MERGE INTO semantics engine-side: delta batch (updates, stale
+      // replays, ties, inserts — all derived deterministically from
+      // the corpus) applied latest-wins; keeper is a max_by AGGREGATE,
+      // no window — a whale id collapses map-side
+      val docs = s.read.parquet(p(dir, "documents"))
+      val base = docs.select(col("doc_id"),
+        (lit(1) + pmod(col("doc_id"), lit(3))).cast("long").as("version"),
+        col("source"), col("text"))
+      val changed = docs
+        .filter(pmod(col("doc_id"), lit(7)) === 0 ||
+          pmod(col("doc_id"), lit(11)) === 0 ||
+          pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+              lit(2) + pmod(col("doc_id"), lit(3)))
+            .when(pmod(col("doc_id"), lit(11)) === 0, lit(0))
+            .otherwise(lit(1) + pmod(col("doc_id"), lit(3)))
+            .cast("long").as("version"),
+          col("source"),
+          concat(
+            when(pmod(col("doc_id"), lit(7)) === 0, lit("UPDATED "))
+              .when(pmod(col("doc_id"), lit(11)) === 0, lit("STALE "))
+              .otherwise(lit("TIED ")),
+            col("text")).as("text"))
+      val added = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit(1L).as("version"), lit("newsrc").as("source"),
+          concat(lit("NEW DOC "), col("doc_id").cast("string")).as("text"))
+      graft.ops.Snapshot.upsertLatestWins(base, changed.unionByName(added))
+        .orderBy(col("doc_id"))
+    }),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -3124,6 +3169,67 @@ object SparkEntry {
         |  round(CASE WHEN ok THEN b2r END, 4) AS b2,
         |  round(CASE WHEN ok THEN (b1r*c1 + b2r*c2)/vy END, 4) AS r2
         |FROM s ORDER BY source""".stripMargin,
+
+    // D is max |cum_a*n_b - cum_b*n_a| over the pooled grid — integer
+    // arithmetic on both engines, divided once; the only float is the
+    // final ratio + the critical-value constant, both round(6)
+    "q86_ks_drift" ->
+      """WITH vals AS (
+        |  SELECT source AS s, len(list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> ''))::BIGINT AS v
+        |  FROM documents),
+        |counts AS (SELECT s, v, count(*)::BIGINT AS c FROM vals GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT sl.s, dv.v, coalesce(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT v FROM counts) dv
+        |  CROSS JOIN (SELECT DISTINCT s FROM counts) sl
+        |  LEFT JOIN counts c ON c.s = sl.s AND c.v = dv.v),
+        |ecdf AS (
+        |  SELECT s, v, sum(c) OVER (PARTITION BY s ORDER BY v) AS cum,
+        |         sum(c) OVER (PARTITION BY s) AS n
+        |  FROM grid),
+        |pairs AS (
+        |  SELECT a.s AS slice_a, b.s AS slice_b,
+        |    max(a.n)::BIGINT AS n_a, max(b.n)::BIGINT AS n_b,
+        |    max(abs(a.cum*b.n - b.cum*a.n))::BIGINT AS m
+        |  FROM ecdf a JOIN ecdf b ON a.v = b.v AND a.s < b.s
+        |  GROUP BY 1, 2)
+        |SELECT slice_a, slice_b, n_a, n_b,
+        |  round(m::DOUBLE / (n_a*n_b)::DOUBLE, 6) AS ks_stat,
+        |  round(sqrt(-ln(0.025)/2) *
+        |    sqrt((n_a+n_b)::DOUBLE/(n_a*n_b)::DOUBLE), 6) AS crit_05,
+        |  round(m::DOUBLE / (n_a*n_b)::DOUBLE, 6) >
+        |    round(sqrt(-ln(0.025)/2) *
+        |      sqrt((n_a+n_b)::DOUBLE/(n_a*n_b)::DOUBLE), 6) AS drifted
+        |FROM pairs ORDER BY slice_a, slice_b""".stripMargin,
+
+    "q87_upsert_latest_wins" ->
+      """WITH base AS (
+        |  SELECT doc_id, (1 + doc_id % 3)::BIGINT AS version, source, text
+        |  FROM documents),
+        |delta AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 7 = 0 THEN 2 + doc_id % 3
+        |          WHEN doc_id % 11 = 0 THEN 0
+        |          ELSE 1 + doc_id % 3 END)::BIGINT AS version,
+        |    source,
+        |    (CASE WHEN doc_id % 7 = 0 THEN 'UPDATED '
+        |          WHEN doc_id % 11 = 0 THEN 'STALE '
+        |          ELSE 'TIED ' END) || text AS text
+        |  FROM documents
+        |  WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 1::BIGINT, 'newsrc',
+        |    'NEW DOC ' || doc_id::VARCHAR
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |u AS (
+        |  SELECT *, 0 AS src FROM base
+        |  UNION ALL
+        |  SELECT *, 1 AS src FROM delta)
+        |SELECT doc_id, version, source, text FROM u
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY version DESC, src DESC) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // filter-agreement over Verify's own q11/q79 dumps: counts are
     // BIGINT, every ratio rounds(6), composite terms (pe, f1, kappa)

@@ -210,4 +210,61 @@ object Distrib {
               log(col("n_tokens").cast("double")))
           .otherwise(lit(0.0)), 4).as("heaps_beta"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between every pair
+    * of slices over an integer-valued metric — the distribution-drift
+    * leg that compares SHAPES (the KL/JSD legs compare token content):
+    * D = sup_v |F_a(v) − F_b(v)|, with the sup taken over the pooled
+    * value grid (every jump point of either ECDF lives there, so the
+    * grid max IS the sup — textbook exact, no binning).
+    *
+    * Scale shape (the q66 bounded-domain contract): the ONLY
+    * input-sized aggregation is groupBy(slice, value).count; the ECDF
+    * walk is a per-slice window over the (slice × distinct-values)
+    * zero-filled grid — domain-sized, never row-sized — and the pair
+    * join is grid × slices, model-sized for any dashboard-scale slice
+    * count. D is computed INTEGER-exact as max |cum_a·n_b − cum_b·n_a|
+    * over the grid, divided once at the end — no per-point float
+    * ratios to drift across engines (the products need n_a·n_b within
+    * LONG; beyond ~3·10^9 rows per slice switch the comparison to
+    * DOUBLE — scaladoc'd, not silently).
+    *
+    * Output per unordered pair: n_a, n_b, ks_stat (round 6) and the
+    * alpha=0.05 asymptotic critical value c(α)·sqrt((n_a+n_b)/(n_a·n_b)),
+    * c(0.05)=sqrt(−ln(0.025)/2) — both pure arithmetic on the counts,
+    * so the drift verdict `drifted` reproduces in any engine.
+    */
+  def ksTwoSample(df: DataFrame, valueCol: String, sliceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(sliceCol).as("s"), col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("s"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val grid = counts.select(col("v")).distinct()
+      .crossJoin(broadcast(counts.select(col("s")).distinct()))
+      .join(counts, Seq("s", "v"), "left")
+      .na.fill(0L, Seq("c"))
+    val w = Window.partitionBy(col("s")).orderBy(col("v"))
+    val ecdf = grid
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("s"))))
+    val a = ecdf.select(col("s").as("slice_a"), col("v"),
+      col("cum").as("ca"), col("n").as("na"))
+    val b = ecdf.select(col("s").as("slice_b"), col("v"),
+      col("cum").as("cb"), col("n").as("nb"))
+    val cAlpha = math.sqrt(-math.log(0.025) / 2.0)
+    a.join(b, Seq("v"))
+      .where(col("slice_a") < col("slice_b"))
+      .groupBy(col("slice_a"), col("slice_b"))
+      .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+        max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("__m"))
+      .select(col("slice_a"), col("slice_b"), col("n_a"), col("n_b"),
+        round(col("__m").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("ks_stat"),
+        round(lit(cAlpha) * sqrt((col("n_a") + col("n_b")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")), 6).as("crit_05"))
+      .withColumn("drifted",
+        col("ks_stat") > col("crit_05"))
+  }
 }

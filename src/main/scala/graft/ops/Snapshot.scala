@@ -41,4 +41,36 @@ object Snapshot {
           .when(!(col("__hc") <=> col("__hp")), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** Latest-wins upsert — the APPLY side of [[diff]]: merge a delta
+    * batch into a base snapshot keeping, per id, the row with the
+    * highest `version`; on a version tie the DELTA row wins (the
+    * MERGE INTO semantics every incremental-ingest pipeline needs,
+    * engine-side — at deployment the same rule rides Iceberg's
+    * copy-on-write MERGE).
+    *
+    * Shape: the keeper is a `max_by` over a lexicographic
+    * (version, is_delta) struct — ONE hash aggregation with map-side
+    * combine, no window. A whale id (the same doc re-crawled 10^6
+    * times across deltas) collapses map-side instead of serializing
+    * a per-key window — the q45/q48 keeper discipline.
+    *
+    * Contract: ids are unique WITHIN each input (standard CDC batch
+    * contract); cross-input duplicates are exactly what the rule
+    * resolves. Both inputs must share the schema.
+    */
+  def upsertLatestWins(base: DataFrame, delta: DataFrame,
+                       id: String = "doc_id",
+                       version: String = "version"): DataFrame = {
+    require(base.columns.sorted.sameElements(delta.columns.sorted),
+      s"base/delta schemas differ: ${base.columns.mkString(",")} vs ${delta.columns.mkString(",")}")
+    val payload = base.columns.filter(_ != id).toSeq
+    val u = base.withColumn("__src", lit(0))
+      .unionByName(delta.withColumn("__src", lit(1)))
+    u.groupBy(col(id))
+      .agg(max_by(
+        struct(payload.map(col): _*),
+        struct(col(version), col("__src"))).as("__w"))
+      .select(col(id) +: payload.map(c => col(s"__w.$c").as(c)): _*)
+  }
 }

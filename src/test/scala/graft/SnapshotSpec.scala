@@ -40,4 +40,40 @@ class SnapshotSpec extends AnyFunSuite {
     val byStatus = got.groupBy(_.getString(1)).view.mapValues(_.length).toMap
     assert(byStatus == Map("added" -> 50, "removed" -> 50, "unchanged" -> 50))
   }
+
+  test("upsertLatestWins: higher version wins, delta wins ties, stale delta loses, inserts land") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, 3L, "base-v3"),   // delta has v2 -> base survives
+      (2L, 1L, "base-v1"),   // delta has v5 -> delta survives
+      (3L, 2L, "base-v2"),   // delta has v2 (tie) -> DELTA survives
+      (4L, 1L, "untouched")  // no delta row
+    ).toDF("doc_id", "version", "text")
+    val delta = Seq(
+      (1L, 2L, "delta-stale"),
+      (2L, 5L, "delta-v5"),
+      (3L, 2L, "delta-tie"),
+      (9L, 1L, "delta-insert")
+    ).toDF("doc_id", "version", "text")
+    val got = Snapshot.upsertLatestWins(base, delta)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, "base-v3"), (2L, 5L, "delta-v5"), (3L, 2L, "delta-tie"),
+      (4L, 1L, "untouched"), (9L, 1L, "delta-insert")))
+  }
+
+  test("upsertLatestWins is partitioning-invariant and rejects schema drift") {
+    import spark.implicits._
+    val base = (0L until 100L).map(i => (i, i % 5, s"b$i")).toDF("doc_id", "version", "text")
+    val delta = (0L until 100L by 3).map(i => (i, i % 5 + 1, s"d$i")).toDF("doc_id", "version", "text")
+    val one = Snapshot.upsertLatestWins(base.repartition(1), delta.repartition(1))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val many = Snapshot.upsertLatestWins(base.repartition(13), delta.repartition(7))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(one == many)
+    intercept[IllegalArgumentException] {
+      Snapshot.upsertLatestWins(base, delta.withColumnRenamed("text", "body"))
+    }
+  }
 }
