@@ -990,6 +990,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q88_span_integrity" -> ((s, dir) => {
+      // the north-rule output contract (kind, text, media_ref, order)
+      // as a checkable invariant: deterministic span corpus with four
+      // planted violation classes (offset gap %13, duplicate offset
+      // %17, media without ref %19, text with stray ref %23), audited
+      // by ONE doc-keyed conditional aggregation
+      val docs = s.read.parquet(p(dir, "documents"))
+      val toks = graft.functions.GraftFunctions.tokenizeWords(col("text"))
+      val withT = docs.select(col("doc_id"), toks.as("toks"))
+      val textSpans = withT.filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            floor((size(col("toks")) - 1) / lit(10)).cast("int"))).as("i"),
+          col("toks"))
+        .select(col("doc_id"), lit("text").as("kind"),
+          array_join(slice(col("toks"), col("i") * 10 + 1, lit(10)), " ").as("text"),
+          when(pmod(col("doc_id"), lit(23)) === 0 && col("i") === 0, lit("stray"))
+            .otherwise(lit("")).as("media_ref"),
+          col("i").cast("int").as("offset"))
+        .filter(!(pmod(col("doc_id"), lit(13)) === 0 && col("offset") === 1))
+      val dupSpans = textSpans
+        .filter(pmod(col("doc_id"), lit(17)) === 0 && col("offset") === 0)
+      val mediaSpans = withT.select(col("doc_id"),
+        lit("media").as("kind"), lit("").as("text"),
+        when(pmod(col("doc_id"), lit(19)) === 0, lit(""))
+          .otherwise(concat(lit("m://"), col("doc_id").cast("string")))
+          .as("media_ref"),
+        when(size(col("toks")) === 0, lit(0))
+          .otherwise(floor((size(col("toks")) - 1) / lit(10)).cast("int") + 1)
+          .cast("int").as("offset"))
+      graft.pipe.SpanAudit.audit(
+          textSpans.unionByName(dupSpans).unionByName(mediaSpans))
+        .orderBy(col("doc_id"))
+    }),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -3230,6 +3265,46 @@ object SparkEntry {
         |QUALIFY row_number() OVER (
         |  PARTITION BY doc_id ORDER BY version DESC, src DESC) = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q88_span_integrity" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |ts0 AS (
+        |  SELECT doc_id, 'text' AS kind,
+        |    array_to_string(toks[u.i*10+1 : u.i*10+10], ' ') AS text,
+        |    CASE WHEN doc_id % 23 = 0 AND u.i = 0 THEN 'stray' ELSE '' END
+        |      AS media_ref,
+        |    u.i::INT AS "offset"
+        |  FROM t, LATERAL unnest(generate_series(0, (len(toks)-1)//10)) u(i)
+        |  WHERE len(toks) > 0),
+        |ts AS (SELECT * FROM ts0 WHERE NOT (doc_id % 13 = 0 AND "offset" = 1)),
+        |dup AS (SELECT * FROM ts WHERE doc_id % 17 = 0 AND "offset" = 0),
+        |med AS (
+        |  SELECT doc_id, 'media' AS kind, '' AS text,
+        |    CASE WHEN doc_id % 19 = 0 THEN ''
+        |         ELSE 'm://' || doc_id::VARCHAR END AS media_ref,
+        |    (CASE WHEN len(toks) = 0 THEN 0
+        |          ELSE (len(toks)-1)//10 + 1 END)::INT AS "offset"
+        |  FROM t),
+        |sp AS (
+        |  SELECT * FROM ts UNION ALL SELECT * FROM dup
+        |  UNION ALL SELECT * FROM med),
+        |agg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_spans,
+        |    (count(*) - count(DISTINCT "offset"))::BIGINT AS n_dup_offsets,
+        |    (max("offset") + 1 - count(DISTINCT "offset"))::BIGINT AS n_missing,
+        |    min("offset")::BIGINT AS first_offset,
+        |    sum(CASE WHEN (kind = 'media' AND media_ref = '')
+        |              OR (kind = 'text' AND media_ref <> '')
+        |             THEN 1 ELSE 0 END)::BIGINT AS n_bad_media,
+        |    sum(CASE WHEN kind NOT IN ('text', 'media')
+        |             THEN 1 ELSE 0 END)::BIGINT AS n_bad_kind
+        |  FROM sp GROUP BY 1)
+        |SELECT *, (n_dup_offsets = 0 AND n_missing = 0 AND first_offset = 0
+        |           AND n_bad_media = 0 AND n_bad_kind = 0) AS is_clean
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // filter-agreement over Verify's own q11/q79 dumps: counts are
     // BIGINT, every ratio rounds(6), composite terms (pe, f1, kappa)
