@@ -1025,6 +1025,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q89_langid_confusion" -> ((s, dir) => {
+      // the labeler-evaluation leg: q12's language ID judged against
+      // the corpus ground truth as a full multiclass confusion matrix
+      // — cells bounded by classes^2, marginals re-aggregate the
+      // CELLS, ratios integer-operand round(6)
+      val d = s.read.parquet(p(dir, "documents")).select(col("lang"),
+        TextAnalysis.predictedLang(col("text")).as("predicted_lang"))
+      graft.ops.Classifier.confusionMulticlass(d, "lang", "predicted_lang")
+        .orderBy(col("actual"), col("predicted"))
+    }),
+
+    "q90_trimmed_mean" -> ((s, dir) => {
+      // robust per-source location: exact 10%-trimmed mean of the
+      // token count over the q66 value-domain histogram — integer
+      // numerator, one division, never a global row sort
+      val t = graft.functions.GraftFunctions.tokenizeWords(col("text"))
+      graft.ops.Quantiles.trimmedMean(
+          s.read.parquet(p(dir, "documents"))
+            .select(col("source"), size(t).cast("long").as("n_tok")),
+          "n_tok", keys = Seq("source"), trimPermille = 100)
+        .orderBy(col("source"))
+    }),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -3305,6 +3328,54 @@ object SparkEntry {
         |SELECT *, (n_dup_offsets = 0 AND n_missing = 0 AND first_offset = 0
         |           AND n_bad_media = 0 AND n_bad_kind = 0) AS is_clean
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q89_langid_confusion" ->
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |p AS (
+         |  SELECT lang AS actual,
+         |    CASE
+         |      WHEN len(list_filter(toks, x -> x IN (${TextAnalysis.enMarkers.map(m => s"'$m'").mkString(",")})))
+         |         > len(list_filter(toks, x -> x IN (${TextAnalysis.idMarkers.map(m => s"'$m'").mkString(",")}))) THEN 'en'
+         |      WHEN len(list_filter(toks, x -> x IN (${TextAnalysis.idMarkers.map(m => s"'$m'").mkString(",")})))
+         |         > len(list_filter(toks, x -> x IN (${TextAnalysis.enMarkers.map(m => s"'$m'").mkString(",")}))) THEN 'id'
+         |      WHEN len(list_filter(toks, x -> x IN (${TextAnalysis.enMarkers.map(m => s"'$m'").mkString(",")}))) > 0 THEN 'en'
+         |      ELSE 'und' END AS predicted
+         |  FROM t),
+         |cells AS (
+         |  SELECT actual, predicted, count(*)::BIGINT AS n
+         |  FROM p GROUP BY 1, 2)
+         |SELECT actual, predicted, n,
+         |  round(n::DOUBLE /
+         |    (sum(n) OVER (PARTITION BY actual))::DOUBLE, 6) AS recall,
+         |  round(n::DOUBLE /
+         |    (sum(n) OVER (PARTITION BY predicted))::DOUBLE, 6) AS precision
+         |FROM cells ORDER BY actual, predicted""".stripMargin,
+
+    "q90_trimmed_mean" ->
+      """WITH vals AS (
+        |  SELECT source, len(list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> ''))::BIGINT AS v
+        |  FROM documents),
+        |h AS (SELECT source, v, count(*)::BIGINT AS c FROM vals GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT source, v, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS n
+        |  FROM h),
+        |kept AS (
+        |  SELECT source, n::BIGINT AS n, ((n * 100) // 1000)::BIGINT AS k_trimmed,
+        |    greatest(least(cum, n - (n * 100) // 1000)
+        |             - greatest(cum - c, (n * 100) // 1000), 0)::BIGINT AS kc,
+        |    v
+        |  FROM cw)
+        |SELECT source, n, k_trimmed,
+        |  round(CASE WHEN n - 2*k_trimmed > 0
+        |    THEN sum(v * kc)::DOUBLE / (n - 2*k_trimmed)::DOUBLE END, 6)
+        |    AS trimmed_mean
+        |FROM kept GROUP BY 1, 2, 3 ORDER BY source""".stripMargin,
 
     // filter-agreement over Verify's own q11/q79 dumps: counts are
     // BIGINT, every ratio rounds(6), composite terms (pe, f1, kappa)

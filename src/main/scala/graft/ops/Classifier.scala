@@ -155,4 +155,38 @@ object Classifier {
         col("n_neither"), col("precision"), col("recall"), col("f1"),
         col("kappa"))
   }
+
+  /** Multiclass confusion matrix — the evaluation leg for any labeler
+    * in the pipeline (language ID, quality classifier, source tagger)
+    * against a ground-truth column: one row per observed
+    * (actual, predicted) cell with its count, per-actual recall
+    * (n / actual total) and per-predicted precision (n / predicted
+    * total). The binary [[filterAgreement]] collapses to scalars;
+    * this keeps the full matrix so an auditor sees WHICH classes
+    * bleed into which.
+    *
+    * Scale shape: ONE input-sized hash aggregation to the cells
+    * (bounded by classes², never rows); the marginals re-aggregate
+    * the CELLS — model-sized — and join back broadcast. Ratios are
+    * integer-operand divisions rounded(6), engine-exact.
+    */
+  def confusionMulticlass(df: DataFrame, actual: String,
+                          predicted: String): DataFrame = {
+    val cells = df
+      .groupBy(col(actual).as("actual"), col(predicted).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val actTot = cells.groupBy(col("actual"))
+      .agg(sum(col("n")).as("__na"))
+    val predTot = cells.groupBy(col("predicted"))
+      .agg(sum(col("n")).as("__np"))
+    cells
+      .join(broadcast(actTot), Seq("actual"))
+      .join(broadcast(predTot), Seq("predicted"))
+      .select(col("actual"), col("predicted"), col("n"),
+        round(col("n").cast("double") / col("__na").cast("double"), 6)
+          .as("recall"),
+        round(col("n").cast("double") / col("__np").cast("double"), 6)
+          .as("precision"))
+  }
 }

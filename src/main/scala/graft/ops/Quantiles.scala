@@ -171,4 +171,50 @@ object Quantiles {
       .select(col(sliceCol), col("median"), col("mad"), col("n"),
         col("n_outliers"), col("outlier_ppm"))
   }
+
+  /** Exact trimmed mean per group — the robust location estimate
+    * between the mean (skew-poisoned) and the median (throws away
+    * 100% of the shape): drop the lowest and highest
+    * k = n·trimPermille DIV 1000 values, average the rest. Runs on
+    * the q66 value-domain histogram, so the only input-sized work is
+    * the (group, value) count agg; each distinct value v with count c
+    * occupying cumulative ranks (cum−c, cum] contributes
+    * kept = clamp(min(cum, n−k) − max(cum−c, k), ≥0) copies to the
+    * kept band [k+1, n−k]. The numerator Σ v·kept is INTEGER-exact
+    * (Σ v·kept ≤ max|v|·n must fit LONG — fine for any length-ish
+    * metric; ANSI raises rather than wrapping if not), one division
+    * at the end, round(6). Groups with n − 2k ≤ 0 report NULL.
+    */
+  def trimmedMean(df: DataFrame, valueCol: String, keys: Seq[String],
+                  trimPermille: Int = 100): DataFrame = {
+    require(trimPermille >= 0 && trimPermille < 500,
+      "trimPermille must be in [0, 500) — trimming half from each end leaves nothing")
+    val kc = keys.map(col)
+    val hist = df
+      .select((kc :+ col(valueCol).cast("long").as("__v")): _*)
+      .where(col("__v").isNotNull)
+      .groupBy((kc :+ col("__v")): _*).agg(count(lit(1)).as("__c"))
+    val wOrd =
+      if (keys.isEmpty) Window.orderBy(col("__v"))
+      else Window.partitionBy(kc: _*).orderBy(col("__v"))
+    val wAll =
+      if (keys.isEmpty) Window.partitionBy()
+      else Window.partitionBy(kc: _*)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("n", sum(col("__c")).over(wAll))
+      .withColumn("__k",
+        expr(s"CAST((n * $trimPermille) DIV 1000 AS BIGINT)"))
+      .withColumn("__kept", greatest(
+        least(col("__cum"), col("n") - col("__k")) -
+          greatest(col("__cum") - col("__c"), col("__k")),
+        lit(0L)))
+    cum.groupBy((kc ++ Seq(col("n"), col("__k"))): _*)
+      .agg(sum(col("__v") * col("__kept")).as("__num"))
+      .select((kc ++ Seq(col("n"), col("__k").as("k_trimmed"),
+        round(when(col("n") - lit(2L) * col("__k") > 0L,
+            col("__num").cast("double") /
+              (col("n") - lit(2L) * col("__k")).cast("double")), 6)
+          .as("trimmed_mean"))): _*)
+  }
 }

@@ -92,4 +92,26 @@ class ClassifierSpec extends AnyFunSuite {
     assert(Classifier.filterAgreement(const, col("a"), col("b"))
       .head().getAs[Double]("kappa") == 0.0)
   }
+
+  test("confusionMulticlass: hand-computed cells, recall and precision marginals") {
+    import spark.implicits._
+    // actual en: 3 -> predicted en,en,id; actual id: 2 -> id,id;
+    // actual fr: 1 -> en
+    val rows = Seq(
+      ("en", "en"), ("en", "en"), ("en", "id"),
+      ("id", "id"), ("id", "id"),
+      ("fr", "en")).toDF("actual_lang", "pred")
+    val got = Classifier.confusionMulticlass(rows, "actual_lang", "pred")
+      .orderBy("actual", "predicted").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.size == 4)
+    assert(got(("en", "en")) == ((2L, 0.666667, 0.666667))) // 2/3 recall, 2/3 precision (en predicted 3x)
+    assert(got(("en", "id")) == ((1L, 0.333333, 0.333333))) // id predicted 3x
+    assert(got(("id", "id")) == ((2L, 1.0, 0.666667)))
+    assert(got(("fr", "en")) == ((1L, 1.0, 0.333333)))
+    // per-actual recalls sum to 1
+    val byActual = got.groupBy(_._1._1).view.mapValues(_.values.map(_._2).sum)
+    byActual.values.foreach(s => assert(math.abs(s - 1.0) < 1e-5))
+  }
 }

@@ -93,4 +93,35 @@ class QuantilesSpec extends AnyFunSuite {
     assert(out("b") == (5L, 0L, 4L, 0L, 0L), "constant slice: MAD 0, zero outliers")
     assert(out("c") == (5L, 0L, 4L, 1L, 250000L), "MAD=0 slice flags ANY deviation")
   }
+
+  test("trimmedMean: equals the brute-force sorted-drop mean; whale value absorbed; tiny group NULL") {
+    import spark.implicits._
+    // slice a: 10 values incl. a 10^6 whale; 10% trim drops exactly the
+    // min and the max -> mean of the middle 8
+    val aVals = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 1000000L)
+    // slice b: repeated values straddling the trim boundary
+    val bVals = Seq(5L, 5L, 5L, 5L, 1L, 9L, 9L, 9L, 9L, 9L)
+    // slice c: n=4, k=0 at 100 permille -> plain mean; n-2k>0 fine
+    val cVals = Seq(10L, 20L, 30L, 40L)
+    val rows = aVals.map(("a", _)) ++ bVals.map(("b", _)) ++ cVals.map(("c", _))
+    def brute(vs: Seq[Long], pm: Int): Double = {
+      val k = vs.size * pm / 1000
+      val kept = vs.sorted.slice(k, vs.size - k)
+      kept.sum.toDouble / kept.size
+    }
+    val got = Quantiles.trimmedMean(rows.toDF("s", "v"), "v", Seq("s"), 100)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("a") == ((10L, 1L, math.rint(brute(aVals, 100) * 1e6) / 1e6)))
+    assert(got("b") == ((10L, 1L, math.rint(brute(bVals, 100) * 1e6) / 1e6)))
+    assert(got("c") == ((4L, 0L, brute(cVals, 100))))
+    // 400 permille on n=2: k=0 keeps all; 400 permille on n=5: k=2 keeps the median only
+    val small = Quantiles.trimmedMean(
+        Seq(("d", 1L), ("d", 100L)).toDF("s", "v"), "v", Seq("s"), 400)
+      .collect().head
+    assert(small.getDouble(3) == 50.5)
+    val med = Quantiles.trimmedMean(
+        Seq.tabulate(5)(i => ("e", (i * 10 + 1).toLong)).toDF("s", "v"), "v", Seq("s"), 400)
+      .collect().head
+    assert(med.getLong(2) == 2L && med.getDouble(3) == 21.0)
+  }
 }
