@@ -1048,6 +1048,21 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q91_temporal_tvd" -> ((s, dir) =>
+      // day-over-day ingest drift: total variation distance of the
+      // event-type distribution per consecutive-day pair — the q86
+      // integer-exact trick over a model-sized (day x category) grid
+      graft.ops.Distrib.temporalTvd(
+          s.read.parquet(p(dir, "events")), "ts", "event_type")
+        .orderBy(col("day_a"))),
+
+    "q92_source_balance" -> ((s, dir) =>
+      // corpus balance: Shannon entropy / effective-source count /
+      // Gini of the source mixture — one input-sized count agg, then
+      // slice-count-sized arithmetic
+      graft.ops.Distrib.balanceIndex(
+          s.read.parquet(p(dir, "documents")), "source")),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -3376,6 +3391,47 @@ object SparkEntry {
         |    THEN sum(v * kc)::DOUBLE / (n - 2*k_trimmed)::DOUBLE END, 6)
         |    AS trimmed_mean
         |FROM kept GROUP BY 1, 2, 3 ORDER BY source""".stripMargin,
+
+    "q91_temporal_tvd" ->
+      """WITH e AS (SELECT ts::DATE AS day, event_type AS cat FROM events),
+        |cnt AS (SELECT day, cat, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.day, k.cat, coalesce(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT day FROM cnt) d
+        |  CROSS JOIN (SELECT DISTINCT cat FROM cnt) k
+        |  LEFT JOIN cnt c ON c.day = d.day AND c.cat = k.cat),
+        |tot AS (SELECT day, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+        |g AS (SELECT grid.day, grid.cat, grid.c, tot.n
+        |      FROM grid JOIN tot USING (day)),
+        |p AS (
+        |  SELECT a.day AS day_a, b.day AS day_b,
+        |    max(a.n)::BIGINT AS n_a, max(b.n)::BIGINT AS n_b,
+        |    sum(abs(a.c*b.n - b.c*a.n))::BIGINT AS m
+        |  FROM g a JOIN g b ON b.day = a.day + 1 AND a.cat = b.cat
+        |  GROUP BY 1, 2)
+        |SELECT day_a, day_b, n_a, n_b,
+        |  round(m::DOUBLE / (2.0*(n_a*n_b)::DOUBLE), 6) AS tvd
+        |FROM p ORDER BY day_a""".stripMargin,
+
+    "q92_source_balance" ->
+      """WITH c AS (
+        |  SELECT source AS s, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT s, c, row_number() OVER (ORDER BY c, s) AS r FROM c),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_slices, sum(c)::BIGINT AS n_rows,
+        |    sum(c::DOUBLE * ln(c::DOUBLE)) AS clc, sum(r*c)::BIGINT AS rc
+        |  FROM r)
+        |SELECT n_slices, n_rows,
+        |  round(ln(n_rows::DOUBLE) - clc/n_rows::DOUBLE, 6) AS entropy,
+        |  round(CASE WHEN n_slices > 1
+        |    THEN (ln(n_rows::DOUBLE) - clc/n_rows::DOUBLE)/ln(n_slices::DOUBLE)
+        |    ELSE 0 END, 6) AS norm_entropy,
+        |  round(exp(ln(n_rows::DOUBLE) - clc/n_rows::DOUBLE), 4)
+        |    AS effective_slices,
+        |  round(2*rc::DOUBLE/(n_slices*n_rows)::DOUBLE
+        |    - (n_slices+1)::DOUBLE/n_slices::DOUBLE, 6) AS gini
+        |FROM a""".stripMargin,
 
     // filter-agreement over Verify's own q11/q79 dumps: counts are
     // BIGINT, every ratio rounds(6), composite terms (pe, f1, kappa)

@@ -234,6 +234,83 @@ object Distrib {
     * c(0.05)=sqrt(−ln(0.025)/2) — both pure arithmetic on the counts,
     * so the drift verdict `drifted` reproduces in any engine.
     */
+  /** Day-over-day categorical drift as total variation distance —
+    * the monitoring leg for a continuously-ingesting corpus: for every
+    * consecutive-day pair, TVD = ½ Σ_t |p_d(t) − p_{d+1}(t)| over the
+    * category distribution. Computed INTEGER-exact by the q86 trick:
+    * Σ |c_a·n_b − c_b·n_a| over the zero-filled (day × category)
+    * grid, divided once by 2·n_a·n_b, round(6) — no per-category
+    * float ratios to drift across engines.
+    *
+    * Scale shape: one input-sized (day, category) count agg; the grid
+    * is days × categories (both model-sized for any monitoring
+    * horizon), the pair join is day→day+1 on the grid. Days with no
+    * events simply break the chain (no pair emitted) — absence is a
+    * monitoring fact, not a zero-filled fiction.
+    */
+  def temporalTvd(df: DataFrame, tsCol: String, catCol: String): DataFrame = {
+    val counts = df
+      .select(to_date(col(tsCol)).as("day"), col(catCol).as("cat"))
+      .where(col("day").isNotNull)
+      .groupBy(col("day"), col("cat")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val grid = counts.select(col("day")).distinct()
+      .crossJoin(broadcast(counts.select(col("cat")).distinct()))
+      .join(counts, Seq("day", "cat"), "left")
+      .na.fill(0L, Seq("c"))
+    val tot = counts.groupBy(col("day")).agg(sum(col("c")).as("n"))
+    val g = grid.join(broadcast(tot), Seq("day"))
+    val a = g.select(col("day").as("day_a"), col("cat"),
+      col("c").as("ca"), col("n").as("na"))
+    val b = g.select(col("day").as("day_b"), col("cat"),
+      col("c").as("cb"), col("n").as("nb"))
+    a.join(b, date_add(col("day_a"), 1) === col("day_b") &&
+        a("cat") === b("cat"))
+      .groupBy(col("day_a"), col("day_b"))
+      .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+        sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("__m"))
+      .select(col("day_a"), col("day_b"), col("n_a"), col("n_b"),
+        round(col("__m").cast("double") /
+          (lit(2.0) * (col("n_a") * col("n_b")).cast("double")), 6).as("tvd"))
+  }
+
+  /** Corpus balance index — is the mixture dominated by a few
+    * sources? One model-sized summary row: Shannon entropy of the
+    * slice distribution H = ln N − Σ c·ln c / N (integer counts in,
+    * one transcendental per SLICE, round 6), normalized entropy
+    * H / ln S, effective slice count e^H, and the Gini concentration
+    * G = (2 Σ r·c_r)/(S·N) − (S+1)/S over slices ranked ascending by
+    * (count, name) — integer numerator, deterministic tie order, one
+    * division. Scale shape: one input-sized count agg; everything
+    * after runs on S rows.
+    */
+  def balanceIndex(df: DataFrame, sliceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(sliceCol).as("s"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("r",
+      row_number().over(Window.orderBy(col("c"), col("s"))))
+    ranked.agg(
+        count(lit(1)).as("n_slices"),
+        sum(col("c")).as("n_rows"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("__clc"),
+        sum(col("r") * col("c")).as("__rc"))
+      .select(col("n_slices"), col("n_rows"),
+        round(log(col("n_rows").cast("double")) -
+          col("__clc") / col("n_rows").cast("double"), 6).as("entropy"),
+        round(when(col("n_slices") > 1L,
+            (log(col("n_rows").cast("double")) -
+              col("__clc") / col("n_rows").cast("double")) /
+              log(col("n_slices").cast("double")))
+          .otherwise(lit(0.0)), 6).as("norm_entropy"),
+        round(exp(log(col("n_rows").cast("double")) -
+          col("__clc") / col("n_rows").cast("double")), 4).as("effective_slices"),
+        round(lit(2.0) * col("__rc").cast("double") /
+            (col("n_slices") * col("n_rows")).cast("double") -
+          (col("n_slices") + 1L).cast("double") /
+            col("n_slices").cast("double"), 6).as("gini"))
+  }
+
   def ksTwoSample(df: DataFrame, valueCol: String, sliceCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df

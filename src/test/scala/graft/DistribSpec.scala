@@ -6,6 +6,51 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class DistribSpec extends AnyFunSuite {
 
+  test("temporalTvd: identical days 0, disjoint days 1, hand-computed mixed pair; gaps break the chain") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val rows = Seq(
+      // day 1 and day 2 identical distribution {a:2, b:2}
+      ("2024-03-01 10:00:00", "a"), ("2024-03-01 11:00:00", "a"),
+      ("2024-03-01 12:00:00", "b"), ("2024-03-01 13:00:00", "b"),
+      ("2024-03-02 10:00:00", "a"), ("2024-03-02 11:00:00", "a"),
+      ("2024-03-02 12:00:00", "b"), ("2024-03-02 13:00:00", "b"),
+      // day 3 all c -> disjoint from day 2 -> TVD 1
+      ("2024-03-03 10:00:00", "c"), ("2024-03-03 11:00:00", "c"),
+      // day 4: {a:1, c:3} vs day 3 {c:2}: TVD = 0.5*(|1/4-0| + |0-0| + |3/4-1|) = 0.25
+      ("2024-03-04 10:00:00", "a"), ("2024-03-04 11:00:00", "c"),
+      ("2024-03-04 12:00:00", "c"), ("2024-03-04 13:00:00", "c"),
+      // day 6 after a gap: no (4,5) or (5,6) pair
+      ("2024-03-06 10:00:00", "a")
+    ).map { case (t, c) => (ts(t), c) }
+    val out = Distrib.temporalTvd(rows.toDF("ts", "cat"), "ts", "cat")
+      .orderBy("day_a").collect()
+      .map(r => (r.getDate(0).toString, r.getDate(1).toString, r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("2024-03-01", "2024-03-02", 0.0),
+      ("2024-03-02", "2024-03-03", 1.0),
+      ("2024-03-03", "2024-03-04", 0.25)))
+  }
+
+  test("balanceIndex: uniform mixture maxes entropy with Gini 0; single slice degenerates cleanly") {
+    import spark.implicits._
+    val uniform = (0 until 40).map(i => s"src${i % 4}").toDF("source")
+    val u = Distrib.balanceIndex(uniform, "source").collect().head
+    assert(u.getLong(0) == 4L && u.getLong(1) == 40L)
+    assert(u.getDouble(3) == 1.0)                       // norm entropy
+    assert(math.abs(u.getDouble(4) - 4.0) < 1e-3)       // effective slices
+    assert(u.getDouble(5) == 0.0)                       // gini
+    // skewed 37:1:1:1 -> low norm-entropy, high gini
+    val skew = (Seq.fill(37)("big") ++ Seq("s1", "s2", "s3")).toDF("source")
+    val k = Distrib.balanceIndex(skew, "source").collect().head
+    assert(k.getDouble(3) < 0.35 && k.getDouble(5) > 0.6)
+    val one = Distrib.balanceIndex(Seq.fill(5)("only").toDF("source"), "source")
+      .collect().head
+    assert(one.getDouble(2) == 0.0 && one.getDouble(3) == 0.0 &&
+      one.getDouble(4) == 1.0 && one.getDouble(5) == 0.0)
+  }
+
   private lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-distrib")
