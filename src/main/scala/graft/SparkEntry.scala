@@ -426,6 +426,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q93_cluster_keeper" -> ((s, dir) => {
+      // the production dedup survivor rule: per q47 near-dup
+      // component keep the doc maximizing (token count, lowest id on
+      // ties) — CCNet's keep-the-longest, quality-pluggable
+      val docs = s.read.parquet(p(dir, "documents"))
+      val pairs = graft.ops.Dedup.minhashLsh(docs, threshold = 0.2)
+        .select(col("id_a"), col("id_b"))
+      val comps = graft.ops.Dedup.connectedComponents(
+        pairs, docs.select(col("doc_id")))
+      val t = graft.functions.GraftFunctions.tokenizeWords(col("text"))
+      graft.ops.Dedup.keepBestPerCluster(comps,
+          docs.select(col("doc_id"), size(t).cast("long").as("score")))
+        .orderBy(col("doc_id"))
+    }),
+
     "q46_lm_cross_entropy" -> ((s, dir) => {
       // CCNet's LM-quality leg: unigram cross-entropy under a
       // Laplace-smoothed model trained on a deterministic reference
@@ -2430,6 +2445,30 @@ object SparkEntry {
         |  SELECT e.a, r.m FROM e JOIN r ON e.b = r.n)
         |SELECT n AS doc_id, min(m)::BIGINT AS component
         |FROM r GROUP BY n ORDER BY n""".stripMargin,
+
+    "q93_cluster_keeper" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT id_a, id_b FROM read_parquet('__VERIFY_OUT__/x04_minhash_lsh/*.parquet')),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |r(n, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.m FROM e JOIN r ON e.b = r.n),
+        |comp AS (SELECT n AS doc_id, min(m)::BIGINT AS component FROM r GROUP BY n),
+        |sc AS (
+        |  SELECT doc_id, len(list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> ''))::BIGINT AS score
+        |  FROM documents),
+        |j AS (
+        |  SELECT comp.doc_id, comp.component, sc.score
+        |  FROM comp JOIN sc USING (doc_id)),
+        |k AS (
+        |  SELECT component, doc_id AS survivor FROM j
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY component ORDER BY score DESC, doc_id ASC) = 1)
+        |SELECT j.doc_id, j.component, j.score,
+        |  (j.doc_id = k.survivor) AS keep
+        |FROM j JOIN k USING (component) ORDER BY j.doc_id""".stripMargin,
 
     "q46_lm_cross_entropy" ->
       """WITH tok AS (

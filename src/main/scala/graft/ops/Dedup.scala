@@ -476,6 +476,30 @@ object Dedup {
     labels.select(col("n").as(nodeCol), col("lbl").as("component"))
   }
 
+  /** Quality-aware survivor selection over near-dup clusters — the
+    * production dedup rule (CCNet keeps the longest copy, curation
+    * stacks keep the highest-quality one), replacing the analytic
+    * lower-id-survives convention: per component the row maximizing
+    * (score, then LOWEST id on ties) is kept.
+    *
+    * Shape: one join of the component table with the score table on
+    * the id, one component-keyed `max` of a (score, −id) struct —
+    * map-side combinable, so a 10^6-member boilerplate cluster
+    * collapses before the shuffle — and one join-back on the
+    * component. Output: (id, component, score, keep).
+    */
+  def keepBestPerCluster(components: DataFrame, scores: DataFrame,
+                         idCol: String = "doc_id",
+                         scoreCol: String = "score"): DataFrame = {
+    val j = components.join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val best = j.groupBy(col("component"))
+      .agg(max(struct(col(scoreCol), (-col(idCol)).as("__negid"))).as("__b"))
+      .select(col("component"), (-col("__b.__negid")).as("__survivor"))
+    j.join(best, Seq("component"))
+      .select(col(idCol), col("component"), col(scoreCol),
+        (col(idCol) === col("__survivor")).as("keep"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS algorithm, value-selection form): hash
     * every k-token gram, slide a window of `w` consecutive gram

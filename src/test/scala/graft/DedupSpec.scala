@@ -595,4 +595,27 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(again == fp.toSet)
   }
+
+  test("keepBestPerCluster: highest score survives, lowest id on ties, singletons kept") {
+    import spark.implicits._
+    val comps = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),   // cluster 1
+      (4L, 4L), (5L, 4L),             // cluster 4: tie on score
+      (6L, 6L)                        // singleton
+    ).toDF("doc_id", "component")
+    val scores = Seq(
+      (1L, 10L), (2L, 99L), (3L, 50L),
+      (4L, 7L), (5L, 7L),
+      (6L, 1L)).toDF("doc_id", "score")
+    val got = Dedup.keepBestPerCluster(comps, scores)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 10L, false), (2L, 1L, 99L, true), (3L, 1L, 50L, false),
+      (4L, 4L, 7L, true), (5L, 4L, 7L, false),   // tie -> lower id
+      (6L, 6L, 1L, true)))
+    // exactly one survivor per component
+    val perComp = got.groupBy(_._2).view.mapValues(_.count(_._4)).toMap
+    assert(perComp.values.forall(_ == 1))
+  }
 }
