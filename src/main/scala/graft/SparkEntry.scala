@@ -1078,6 +1078,37 @@ object SparkEntry {
       graft.ops.Distrib.balanceIndex(
           s.read.parquet(p(dir, "documents")), "source")),
 
+    "q94_embedding_dispersion" -> ((s, dir) =>
+      // per-label embedding-cloud tightness: exact relational centroid
+      // + cosine-to-centroid stats — the oracled audit beside the
+      // approximate (fixture-covered) ANN family
+      graft.ops.Similarity.groupDispersion(
+          s.read.parquet(p(dir, "embeddings")), "label")
+        .orderBy(col("label"))),
+
+    "q95_domain_boilerplate" -> ((s, dir) => {
+      // cross-page template detection per source: chunk-lines + a
+      // planted per-source footer on doc_id%5 — the detector table a
+      // strip pass would broadcast-anti-join against the corpus
+      val docs = s.read.parquet(p(dir, "documents"))
+      val toks = graft.functions.GraftFunctions.tokenizeWords(col("text"))
+      val chunkLines = docs.select(col("source"), col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("source"), col("doc_id"),
+          explode(sequence(lit(0),
+            floor((size(col("toks")) - 1) / lit(10)).cast("int"))).as("i"),
+          col("toks"))
+        .select(col("source"), col("doc_id"),
+          array_join(slice(col("toks"), col("i") * 10 + 1, lit(10)), " ").as("line"))
+      val footer = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("source"), col("doc_id"),
+          concat(lit("copyright "), col("source"),
+            lit(" all rights reserved")).as("line"))
+      graft.ops.Web.domainBoilerplate(
+          chunkLines.unionByName(footer), "source", "doc_id", "line")
+        .orderBy(col("domain"), col("line"))
+    }),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -3471,6 +3502,58 @@ object SparkEntry {
         |  round(2*rc::DOUBLE/(n_slices*n_rows)::DOUBLE
         |    - (n_slices+1)::DOUBLE/n_slices::DOUBLE, 6) AS gini
         |FROM a""".stripMargin,
+
+    "q94_embedding_dispersion" ->
+      """WITH ex AS (
+        |  SELECT label AS g, vec_id AS id, u.v::DOUBLE AS v, u.i AS d
+        |  FROM embeddings, LATERAL (
+        |    SELECT unnest(embedding) AS v,
+        |           generate_subscripts(embedding, 1) AS i) u),
+        |c AS (SELECT g, d, avg(v) AS c FROM ex GROUP BY 1, 2),
+        |pv AS (
+        |  SELECT ex.g, ex.id,
+        |    sum(ex.v * c.c) AS vc, sum(ex.v * ex.v) AS vv,
+        |    sum(c.c * c.c) AS cc
+        |  FROM ex JOIN c ON ex.g = c.g AND ex.d = c.d
+        |  GROUP BY 1, 2),
+        |cosd AS (
+        |  SELECT g, id,
+        |    CASE WHEN vv > 0 AND cc > 0 THEN vc / (sqrt(vv)*sqrt(cc))
+        |         ELSE 0.0 END AS cs
+        |  FROM pv),
+        |cn AS (SELECT g, sqrt(sum(c*c)) AS cnorm FROM c GROUP BY 1)
+        |SELECT cosd.g AS label, count(*)::BIGINT AS n_vecs,
+        |  round(max(cn.cnorm), 4) AS centroid_norm,
+        |  round(avg(cs), 4) AS mean_cos,
+        |  round(min(cs), 4) AS min_cos
+        |FROM cosd JOIN cn USING (g)
+        |GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q95_domain_boilerplate" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |cl AS (
+        |  SELECT source, doc_id,
+        |    array_to_string(toks[u.i*10+1 : u.i*10+10], ' ') AS line
+        |  FROM t, LATERAL unnest(generate_series(0, (len(toks)-1)//10)) u(i)
+        |  WHERE len(toks) > 0
+        |  UNION ALL
+        |  SELECT source, doc_id,
+        |    'copyright ' || source || ' all rights reserved'
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |d AS (SELECT DISTINCT source AS domain, doc_id AS id, line FROM cl),
+        |tot AS (
+        |  SELECT domain, count(DISTINCT id)::BIGINT AS n_docs
+        |  FROM d GROUP BY 1),
+        |f AS (
+        |  SELECT domain, line, count(*)::BIGINT AS df
+        |  FROM d GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT f.domain, f.line, f.df, tot.n_docs,
+        |  round(f.df::DOUBLE / tot.n_docs::DOUBLE, 6) AS df_frac,
+        |  (round(f.df::DOUBLE / tot.n_docs::DOUBLE, 6) >= 0.3) AS boilerplate
+        |FROM f JOIN tot USING (domain) ORDER BY domain, line""".stripMargin,
 
     // filter-agreement over Verify's own q11/q79 dumps: counts are
     // BIGINT, every ratio rounds(6), composite terms (pe, f1, kappa)

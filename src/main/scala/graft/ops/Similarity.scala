@@ -568,4 +568,49 @@ object Similarity {
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > maxCluster)
+
+  /** Per-group embedding dispersion audit — is a slice's embedding
+    * cloud tight (template farm / near-dup mass) or spread (healthy
+    * diversity)? Per group: member count, centroid norm, and the
+    * mean / min cosine of members to their centroid. Unlike the ANN
+    * family (approximate by contract, fixture-covered), this audit is
+    * EXACT relational arithmetic, so it gets a DuckDB oracle.
+    *
+    * Scale shape: fully relational — the vectors explode to
+    * (group, dim, v) once for the centroid (one map-side-combine agg
+    * bounded to groups×dim rows) and once for the per-vector dot
+    * products against the broadcast centroid (one vec-keyed agg);
+    * no arrays cross a shuffle, no driver data. Zero or zero-norm
+    * vectors score cosine 0 by definition (guarded division).
+    */
+  def groupDispersion(embeddings: DataFrame, groupCol: String,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val ex = embeddings.select(col(groupCol).as("g"), col(idCol).as("id"),
+        posexplode(col(vecCol)))
+      .select(col("g"), col("id"), col("pos").as("d"),
+        col("col").cast("double").as("v"))
+    val centroid = ex.groupBy(col("g"), col("d"))
+      .agg(avg(col("v")).as("c"))
+      .localCheckpoint()
+    val perVec = ex.join(broadcast(centroid), Seq("g", "d"))
+      .groupBy(col("g"), col("id"))
+      .agg(sum(col("v") * col("c")).as("__vc"),
+        sum(col("v") * col("v")).as("__vv"),
+        sum(col("c") * col("c")).as("__cc"))
+      .select(col("g"), col("id"),
+        when(col("__vv") > 0.0 && col("__cc") > 0.0,
+            col("__vc") / (sqrt(col("__vv")) * sqrt(col("__cc"))))
+          .otherwise(lit(0.0)).as("__cos"))
+    val cn = centroid.groupBy(col("g"))
+      .agg(sqrt(sum(col("c") * col("c"))).as("__cnorm"))
+    perVec.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("__cos")), 4).as("mean_cos"),
+        round(min(col("__cos")), 4).as("min_cos"))
+      .join(broadcast(cn), Seq("g"))
+      .select(col("g").as(groupCol), col("n_vecs"),
+        round(col("__cnorm"), 4).as("centroid_norm"),
+        col("mean_cos"), col("min_cos"))
+  }
 }

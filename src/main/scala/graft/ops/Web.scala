@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization and host/domain extraction — the web-curation
@@ -61,4 +61,41 @@ object Web {
         regexp_extract(host, "([^.]+\\.(?:co|com|org|net|ac|gov)\\.[a-z][a-z])$", 1),
         regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
         .map(c => when(c =!= "", c)) :+ host: _*)
+
+  /** Per-domain boilerplate-line detector — the RefinedWeb/CCNet
+    * template-strip signal the per-document line dedup cannot see: a
+    * line that repeats ACROSS a large fraction of one domain's pages
+    * (nav bars, cookie banners, copyright footers) is boilerplate
+    * even though each page contains it once. Emits the detector
+    * table: every (domain, line) present in ≥ `minDf` documents with
+    * its document frequency and frequency fraction, flagged when
+    * df/domain_docs ≥ `minFrac` — the table a strip pass would
+    * broadcast-anti-join against the corpus.
+    *
+    * Scale shape: distinct(domain, doc, line) then ONE
+    * (domain, line) count agg — map-side combine absorbs the repeat
+    * mass; domain doc totals re-aggregate the distinct pairs; the
+    * minDf filter keeps the output detector-sized. Integer-operand
+    * fraction, round(6).
+    */
+  def domainBoilerplate(lines: DataFrame, domainCol: String = "domain",
+                        idCol: String = "doc_id", lineCol: String = "line",
+                        minDf: Long = 2L, minFrac: Double = 0.3): DataFrame = {
+    val distinctLines = lines
+      .select(col(domainCol).as("domain"), col(idCol).as("id"),
+        col(lineCol).as("line"))
+      .distinct()
+      .localCheckpoint()
+    val docTot = distinctLines.select(col("domain"), col("id")).distinct()
+      .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+    distinctLines.groupBy(col("domain"), col("line"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .join(broadcast(docTot), Seq("domain"))
+      .select(col("domain"), col("line"), col("df"), col("n_docs"),
+        round(col("df").cast("double") / col("n_docs").cast("double"), 6)
+          .as("df_frac"))
+      .withColumn("boilerplate",
+        col("df_frac") >= lit(minFrac))
+  }
 }

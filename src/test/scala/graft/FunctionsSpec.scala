@@ -397,4 +397,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("*("), s"expected codegen:\n$plan")
     df.limit(50).collect().foreach(r => assert(r.getLong(1) == shRef(r.getSeq[Long](0))))
   }
+
+  test("groupDispersion: identical vectors cos 1, antipodal cloud centroid ~0, zero vec cos 0") {
+    import spark.implicits._
+    val rows = Seq(
+      // group t: three identical vectors -> mean/min cos 1, norm = |v|
+      ("t", 1L, Seq(3.0f, 4.0f)), ("t", 2L, Seq(3.0f, 4.0f)), ("t", 3L, Seq(3.0f, 4.0f)),
+      // group m: v and a scaled near-opposite -> centroid nonzero,
+      // cos(v, c) = 1 and cos(-2v, c) = -1 (colinear cloud)
+      ("m", 4L, Seq(1.0f, 0.0f)), ("m", 5L, Seq(-2.0f, 0.0f)),
+      // group z: one zero vector among normals -> its cos defined 0
+      ("z", 6L, Seq(0.0f, 0.0f)), ("z", 7L, Seq(0.0f, 5.0f))
+    ).toDF("g", "vec_id", "embedding")
+    val got = graft.ops.Similarity.groupDispersion(rows, "g")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("t") == ((3L, 5.0, 1.0, 1.0)))
+    assert(got("m")._2 == 0.5)            // centroid (-0.5, 0)
+    assert(got("m")._4 == -1.0)           // the flipped member
+    assert(got("z")._1 == 2L && got("z")._4 == 0.0)  // zero vec scores 0
+    assert(got("z")._3 == 0.5)            // mean of {0, 1}
+  }
 }

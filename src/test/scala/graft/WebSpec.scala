@@ -65,4 +65,31 @@ class WebSpec extends AnyFunSuite {
       ("site.com", "site.com"),
       ("localhost", "localhost")))
   }
+
+  test("domainBoilerplate: cross-page repeats flagged, within-page repeats don't inflate df") {
+    import spark.implicits._
+    val lines = Seq(
+      // domain a, 4 docs: footer on 3 of them (df_frac .75 -> boilerplate),
+      // a rare line on 1, and doc 1 repeats the footer TWICE (distinct
+      // collapses it)
+      ("a", 1L, "footer line"), ("a", 1L, "footer line"), ("a", 1L, "unique 1"),
+      ("a", 2L, "footer line"), ("a", 2L, "unique 2"),
+      ("a", 3L, "footer line"),
+      ("a", 4L, "unique 4"), ("a", 4L, "shared pair"),
+      ("a", 3L, "shared pair"),   // df 2 of 4 = 0.5 -> boilerplate at 0.3
+      // domain b: same footer text but only 1 of 2 docs -> below minDf
+      ("b", 5L, "footer line"), ("b", 6L, "other")
+    ).toDF("domain", "doc_id", "line")
+    val got = graft.ops.Web.domainBoilerplate(lines)
+      .orderBy("domain", "line").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      ("a", "footer line", 3L, 4L, 0.75, true),
+      ("a", "shared pair", 2L, 4L, 0.5, true)))
+    // stricter threshold drops the weaker line
+    val strict = graft.ops.Web.domainBoilerplate(lines, minFrac = 0.6)
+      .filter(col("boilerplate")).collect()
+    assert(strict.map(_.getString(1)).toSeq == Seq("footer line"))
+  }
 }
