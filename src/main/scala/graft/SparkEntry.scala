@@ -1109,6 +1109,29 @@ object SparkEntry {
         .orderBy(col("domain"), col("line"))
     }),
 
+    "q96_dup_flow" -> ((s, dir) => {
+      // WHERE does duplication live: near-dup pair counts per
+      // unordered source pair — intra-source = template farms,
+      // cross-source = the mixture feeds the same text twice
+      val docs = s.read.parquet(p(dir, "documents"))
+      val pairs = graft.ops.Dedup.minhashLsh(docs, threshold = 0.2)
+        .select(col("id_a"), col("id_b"))
+      graft.ops.Dedup.dupFlowMatrix(pairs, docs)
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    "q97_rbo_scorers" -> ((s, dir) => {
+      // scorer-swap audit: rank-biased overlap between the n_chars
+      // ranking and the token-count ranking at k=50, p=0.9 —
+      // top-weighted agreement, corpus never feeds a global window
+      val docs = s.read.parquet(p(dir, "documents"))
+      val t = graft.functions.GraftFunctions.tokenizeWords(col("text"))
+      graft.ops.Retrieval.rankBiasedOverlap(
+        docs.select(col("doc_id"), col("n_chars").cast("double").as("score")),
+        docs.select(col("doc_id"), size(t).cast("double").as("score")),
+        k = 50, p = 0.9)
+    }),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -3554,6 +3577,46 @@ object SparkEntry {
         |  round(f.df::DOUBLE / tot.n_docs::DOUBLE, 6) AS df_frac,
         |  (round(f.df::DOUBLE / tot.n_docs::DOUBLE, 6) >= 0.3) AS boilerplate
         |FROM f JOIN tot USING (domain) ORDER BY domain, line""".stripMargin,
+
+    "q96_dup_flow" ->
+      """WITH p AS (
+        |  SELECT id_a, id_b FROM read_parquet('__VERIFY_OUT__/x04_minhash_lsh/*.parquet')),
+        |s AS (SELECT doc_id, source FROM documents),
+        |j AS (
+        |  SELECT least(sa.source, sb.source) AS source_a,
+        |         greatest(sa.source, sb.source) AS source_b
+        |  FROM p JOIN s sa ON p.id_a = sa.doc_id
+        |         JOIN s sb ON p.id_b = sb.doc_id),
+        |cnt AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+        |m AS (
+        |  SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+        |  FROM j GROUP BY 1, 2)
+        |SELECT m.source_a, m.source_b, m.n_pairs,
+        |  ca.n_docs AS docs_a, cb.n_docs AS docs_b
+        |FROM m JOIN cnt ca ON ca.source = m.source_a
+        |       JOIN cnt cb ON cb.source = m.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "q97_rbo_scorers" ->
+      """WITH la AS (
+        |  SELECT doc_id AS id, round(n_chars::DOUBLE, 4) AS s
+        |  FROM documents ORDER BY s DESC, id LIMIT 50),
+        |ra AS (SELECT id, row_number() OVER (ORDER BY s DESC, id) AS r FROM la),
+        |lb AS (
+        |  SELECT doc_id AS id, round(len(list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> ''))::DOUBLE, 4) AS s
+        |  FROM documents ORDER BY s DESC, id LIMIT 50),
+        |rb AS (SELECT id, row_number() OVER (ORDER BY s DESC, id) AS r FROM lb),
+        |common AS (
+        |  SELECT greatest(ra.r, rb.r) AS entry FROM ra JOIN rb USING (id)),
+        |depths AS (SELECT unnest(generate_series(1, 50)) AS d),
+        |terms AS (
+        |  SELECT d, (SELECT count(*) FROM common WHERE entry <= d)::BIGINT AS ov
+        |  FROM depths)
+        |SELECT 50::INT AS k, 0.9::DOUBLE AS p,
+        |  max(CASE WHEN d = 50 THEN ov END)::BIGINT AS overlap_at_k,
+        |  round((1 - 0.9) * sum(pow(0.9, d-1) * ov::DOUBLE / d::DOUBLE), 6) AS rbo
+        |FROM terms""".stripMargin,
 
     // filter-agreement over Verify's own q11/q79 dumps: counts are
     // BIGINT, every ratio rounds(6), composite terms (pe, f1, kappa)

@@ -476,6 +476,37 @@ object Dedup {
     labels.select(col("n").as(nodeCol), col("lbl").as("component"))
   }
 
+  /** Near-dup flow matrix between slices — WHERE does the duplication
+    * live? Intra-source pairs mean template farms inside one crawl
+    * slice; cross-source pairs mean two mixture components feed the
+    * model the same text twice (a mixture-design bug weights can't
+    * see). One row per unordered slice pair with its near-dup pair
+    * count and both slices' doc counts.
+    *
+    * Shape: pair-frame-sized — two broadcast-able joins of the pair
+    * table against (id, slice), one (slice_a, slice_b) count agg; the
+    * corpus itself never flows through (the q77 discipline).
+    */
+  def dupFlowMatrix(pairs: DataFrame, docs: DataFrame,
+                    idCol: String = "doc_id", sliceCol: String = "source",
+                    idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val s = docs.select(col(idCol), col(sliceCol))
+    val m = pairs
+      .join(s.select(col(idCol).as(idA), col(sliceCol).as("__sa")), Seq(idA))
+      .join(s.select(col(idCol).as(idB), col(sliceCol).as("__sb")), Seq(idB))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val cnt = s.groupBy(col(sliceCol)).agg(count(lit(1)).as("n_docs"))
+    m.join(broadcast(cnt.select(col(sliceCol).as("source_a"),
+        col("n_docs").as("docs_a"))), Seq("source_a"))
+      .join(broadcast(cnt.select(col(sliceCol).as("source_b"),
+        col("n_docs").as("docs_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("docs_a"), col("docs_b"))
+  }
+
   /** Quality-aware survivor selection over near-dup clusters — the
     * production dedup rule (CCNet keeps the longest copy, curation
     * stacks keep the highest-quality one), replacing the analytic

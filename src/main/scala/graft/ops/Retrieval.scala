@@ -61,4 +61,59 @@ object Retrieval {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010),
+    * truncated at depth k — the scorer-swap audit: before replacing
+    * one quality scorer with another at 10^12 docs, how similar are
+    * the TOP-of-ranking decisions the two make? Top-weighted (depth d
+    * contributes with weight p^(d−1)/d), so disagreement at rank 3
+    * matters more than at rank 48 — exactly the property plain
+    * set-overlap@k lacks.
+    *
+    *   RBO@k = (1−p) · Σ_{d=1..k} p^(d−1) · |A_d ∩ B_d| / d
+    *
+    * A doc common to both rankings enters the intersection at depth
+    * max(rank_a, rank_b), so overlap_d is one cumulative count — no
+    * d×k cross join of the rankings. Both top-k extractions are
+    * TakeOrdered-style (orderBy desc, id tiebreak, limit k): the
+    * corpus never feeds a global window; everything after the two
+    * top-k pulls runs on ≤ 2k rows. Ranks derive from scores rounded
+    * BEFORE ranking (4 dp) so the boundary agrees across engines —
+    * the q63/q69 rounded-key convention.
+    *
+    * Output one row: k, p, overlap_at_k, rbo (round 6).
+    */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, k: Int, p: Double,
+                        idCol: String = "doc_id",
+                        scoreCol: String = "score"): DataFrame = {
+    require(k >= 1 && p > 0.0 && p < 1.0, "need k >= 1 and p in (0, 1)")
+    import org.apache.spark.sql.expressions.Window
+    def topRanks(df: DataFrame) = {
+      val lim = df
+        .select(col(idCol).as("id"),
+          round(col(scoreCol).cast("double"), 4).as("s"))
+        .orderBy(col("s").desc, col("id"))
+        .limit(k)
+      // the window runs over the ALREADY-LIMITED k rows — bounded
+      lim.withColumn("r",
+        row_number().over(Window.orderBy(col("s").desc, col("id"))))
+        .select(col("id"), col("r"))
+    }
+    val ra = topRanks(a)
+    val rb = topRanks(b)
+    val spark = a.sparkSession
+    val common = ra.join(rb.withColumnRenamed("r", "rb"), Seq("id"))
+      .select(greatest(col("r"), col("rb")).as("entry"))
+    val depths = spark.range(1, k + 1).toDF("d")
+    val terms = depths.join(common, col("entry") <= col("d"), "left")
+      .groupBy(col("d"))
+      .agg(sum(when(col("entry").isNotNull, 1L).otherwise(0L)).as("ov"))
+    terms.agg(
+        max(when(col("d") === k, col("ov"))).as("overlap_at_k"),
+        round(lit(1.0 - p) *
+          sum(pow(lit(p), col("d") - 1) * col("ov").cast("double") /
+            col("d").cast("double")), 6).as("rbo"))
+      .select(lit(k).as("k"), lit(p).as("p"),
+        col("overlap_at_k"), col("rbo"))
+  }
 }

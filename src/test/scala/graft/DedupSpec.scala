@@ -618,4 +618,24 @@ class DedupSpec extends AnyFunSuite {
     val perComp = got.groupBy(_._2).view.mapValues(_.count(_._4)).toMap
     assert(perComp.values.forall(_ == 1))
   }
+
+  test("dupFlowMatrix: unordered source pairs, intra vs cross counts, doc totals attached") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "web"), (2L, "web"), (3L, "web"),
+      (4L, "books"), (5L, "books"), (6L, "wiki")).toDF("doc_id", "source")
+    val pairs = Seq(
+      (1L, 2L),   // intra web
+      (2L, 4L),   // web x books
+      (4L, 1L),   // books x web (reversed ids -> same unordered pair)
+      (5L, 6L)    // books x wiki
+    ).toDF("id_a", "id_b")
+    val got = Dedup.dupFlowMatrix(pairs, docs)
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("books", "web", 2L, 2L, 3L),
+      ("books", "wiki", 1L, 2L, 1L),
+      ("web", "web", 1L, 3L, 3L)))
+  }
 }

@@ -39,4 +39,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(2) == ((3L, s3, 1L)))
     assert(!out.exists(_._1 == 4L), "no-probe-term doc never appears")
   }
+
+  test("rankBiasedOverlap: identical rankings 1-p^k, disjoint 0, hand-computed partial") {
+    import spark.implicits._
+    val a = Seq((1L, 30.0), (2L, 20.0), (3L, 10.0)).toDF("doc_id", "score")
+    val sameOrder = Seq((1L, 99.0), (2L, 50.0), (3L, 1.0)).toDF("doc_id", "score")
+    val ident = Retrieval.rankBiasedOverlap(a, sameOrder, k = 3, p = 0.5).collect().head
+    // identical rankings: overlap_d = d -> rbo = (1-p) sum p^(d-1) = 1 - p^k
+    assert(ident.getInt(0) == 3 && ident.getLong(2) == 3L)
+    assert(ident.getDouble(3) == math.rint((1.0 - math.pow(0.5, 3)) * 1e6) / 1e6)
+    val disjoint = Seq((7L, 5.0), (8L, 4.0), (9L, 3.0)).toDF("doc_id", "score")
+    val dj = Retrieval.rankBiasedOverlap(a, disjoint, k = 3, p = 0.5).collect().head
+    assert(dj.getLong(2) == 0L && dj.getDouble(3) == 0.0)
+    // A = [1,2,3], B = [1,3,4]: entries 1 and 3 -> overlaps 1,1,2
+    // rbo = 0.5*(1 + 0.5*1/2 + 0.25*2/3) = 0.708333
+    val b = Seq((1L, 9.0), (3L, 8.0), (4L, 7.0)).toDF("doc_id", "score")
+    val h = Retrieval.rankBiasedOverlap(a, b, k = 3, p = 0.5).collect().head
+    assert(h.getLong(2) == 2L && h.getDouble(3) == 0.708333)
+  }
 }
