@@ -1132,6 +1132,26 @@ object SparkEntry {
         k = 50, p = 0.9)
     }),
 
+    "q98_good_turing" -> ((s, dir) =>
+      // vocabulary completeness per source: Good-Turing unseen mass
+      // N1/N + bias-corrected Chao1 richness from the frequency
+      // spectrum — one (slice, word) agg, model-sized downstream
+      graft.ops.Distrib.goodTuring(
+          s.read.parquet(p(dir, "documents")), "source")
+        .orderBy(col("slice"))),
+
+    "q99_padding_waste" -> ((s, dir) => {
+      // batching-systems audit: padding waste under the 32/64/128/
+      // 256/512 bucket ladder — integer min-cap join (no float log2),
+      // docs above the top cap truncate there as a counted fact
+      val t = graft.functions.GraftFunctions.tokenizeWords(col("text"))
+      graft.ops.Packing.paddingWaste(
+          s.read.parquet(p(dir, "documents"))
+            .select(col("doc_id"), col("text")),
+          size(t), caps = Seq(32L, 64L, 128L, 256L, 512L))
+        .orderBy(col("bucket"))
+    }),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -3617,6 +3637,48 @@ object SparkEntry {
         |  max(CASE WHEN d = 50 THEN ov END)::BIGINT AS overlap_at_k,
         |  round((1 - 0.9) * sum(pow(0.9, d-1) * ov::DOUBLE / d::DOUBLE), 6) AS rbo
         |FROM terms""".stripMargin,
+
+    "q98_good_turing" ->
+      """WITH wc AS (
+        |  SELECT source AS slice, w, count(*)::BIGINT AS c
+        |  FROM (SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> '')) AS w
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT slice, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+        |  FROM wc GROUP BY 1)
+        |SELECT slice, n_tokens, vocab, n1, n2,
+        |  round(n1::DOUBLE / n_tokens::DOUBLE, 6) AS p_unseen,
+        |  round(vocab::DOUBLE +
+        |    (n1*(n1-1))::DOUBLE / (2.0*(n2+1)::DOUBLE), 4) AS chao1
+        |FROM sp ORDER BY slice""".stripMargin,
+
+    "q99_padding_waste" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> ''))::BIGINT AS n
+        |  FROM documents),
+        |ladder AS (SELECT unnest([32, 64, 128, 256, 512])::BIGINT AS cap),
+        |pick AS (
+        |  SELECT d.doc_id, d.n,
+        |    coalesce(min(ladder.cap) FILTER (WHERE d.n <= ladder.cap), 512)
+        |      AS bucket
+        |  FROM d CROSS JOIN ladder
+        |  GROUP BY 1, 2),
+        |b AS (
+        |  SELECT bucket, doc_id, least(n, bucket) AS kept,
+        |    greatest(n - bucket, 0) AS truncated
+        |  FROM pick)
+        |SELECT bucket, count(*)::BIGINT AS n_docs,
+        |  sum(kept)::BIGINT AS kept_tokens,
+        |  sum(truncated)::BIGINT AS truncated_tokens,
+        |  (count(*) * bucket)::BIGINT AS padded_slots,
+        |  round((count(*) * bucket - sum(kept))::DOUBLE
+        |    / (count(*) * bucket)::DOUBLE, 6) AS waste_frac
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // filter-agreement over Verify's own q11/q79 dumps: counts are
     // BIGINT, every ratio rounds(6), composite terms (pe, f1, kappa)

@@ -211,6 +211,38 @@ object Distrib {
           .otherwise(lit(0.0)), 4).as("heaps_beta"))
   }
 
+  /** Vocabulary-completeness audit per slice — Good–Turing unseen
+    * mass + bias-corrected Chao1 richness: from the word-frequency
+    * spectrum alone, how much vocabulary has this slice NOT shown us
+    * yet? p_unseen = N1/N (the Good–Turing estimate: the probability
+    * the next token is a new type) and
+    * Chao1 = V + N1·(N1−1)/(2·(N2+1)) (the lower-bound total-type
+    * estimate). High unseen mass marks a slice the crawl has barely
+    * sampled; V ≈ Chao1 marks a saturated one.
+    *
+    * Shape: ONE input-sized (slice, word) count agg; the spectrum
+    * (N, V, N1, N2) re-aggregates the MODEL. Ratios divide integer
+    * counts once, round(6)/round(4).
+    */
+  def goodTuring(docs: DataFrame, sliceCol: String,
+                 textCol: String = "text"): DataFrame = {
+    def toks(c: Column) = graft.functions.GraftFunctions.tokenizeWords(c)
+    docs
+      .select(col(sliceCol).as("slice"), explode(toks(col(textCol))).as("w"))
+      .groupBy(col("slice"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("slice"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+      .select(col("slice"), col("n_tokens"), col("vocab"), col("n1"), col("n2"),
+        round(col("n1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("p_unseen"),
+        round(col("vocab").cast("double") +
+          (col("n1") * (col("n1") - 1L)).cast("double") /
+            (lit(2.0) * (col("n2") + 1L).cast("double")), 4).as("chao1"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic between every pair
     * of slices over an integer-valued metric — the distribution-drift
     * leg that compares SHAPES (the KL/JSD legs compare token content):

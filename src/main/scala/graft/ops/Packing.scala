@@ -56,4 +56,44 @@ object Packing {
     */
   def wordTokens(textCol: Column): Column =
     size(filter(split(textCol, "\\W+"), t => t =!= ""))
+
+  /** Padding-waste audit for length-bucketed batching — the training-
+    * systems question behind every bucket ladder: if sequences pad up
+    * to the smallest cap ≥ their length, what fraction of the batch
+    * slots is padding? Per bucket: doc count, kept tokens (clamped at
+    * the cap — docs above the top cap TRUNCATE there, a first-class
+    * counter, not silence), padded slots (docs × cap) and the waste
+    * fraction (padded − kept)/padded.
+    *
+    * Scale shape: the caps are a literal broadcast ladder (the bucket
+    * pick is a min-cap-≥-length join against ≤ dozens of rows —
+    * INTEGER-exact, never float log2 whose ulps flip exact powers of
+    * two across engines); one doc-keyed pick + one bucket agg.
+    */
+  def paddingWaste(docs: DataFrame, nTokens: Column,
+                   caps: Seq[Long],
+                   idCol: String = "doc_id"): DataFrame = {
+    require(caps.nonEmpty && caps == caps.sorted && caps.distinct == caps
+      && caps.head > 0, "caps must be positive, ascending, distinct")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ladder = caps.toDF("cap")
+    val maxCap = caps.max
+    val d = docs.select(col(idCol), nTokens.cast("long").as("__n"))
+    val bucketed = d
+      .join(broadcast(ladder), col("__n") <= col("cap"), "left")
+      .groupBy(col(idCol), col("__n"))
+      .agg(coalesce(min(col("cap")), lit(maxCap)).as("bucket"))
+      .withColumn("kept", least(col("__n"), col("bucket")))
+      .withColumn("truncated", greatest(col("__n") - col("bucket"), lit(0L)))
+    bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("kept_tokens"),
+        sum(col("truncated")).as("truncated_tokens"),
+        (count(lit(1)) * first(col("bucket"))).as("padded_slots"))
+      .select(col("bucket"), col("n_docs"), col("kept_tokens"),
+        col("truncated_tokens"), col("padded_slots"),
+        round((col("padded_slots") - col("kept_tokens")).cast("double") /
+          col("padded_slots").cast("double"), 6).as("waste_frac"))
+  }
 }

@@ -6,6 +6,23 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class DistribSpec extends AnyFunSuite {
 
+  test("goodTuring: hand-computed spectrum, saturated slice has zero unseen mass") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    // slice a: tokens [x x x y y z w] -> N=7 V=4 N1=2 (z,w) N2=1 (y)
+    // p_unseen = 2/7 = 0.285714; chao1 = 4 + 2*1/(2*2) = 4.5
+    // slice b: every type repeated -> N1=0 -> p_unseen 0, chao1 = V
+    val docs = Seq(
+      ("a", "x x x y y z w"),
+      ("b", "p p q q")).toDF("source", "text")
+    val got = Distrib.goodTuring(docs, "source")
+      .orderBy("slice").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got(0) == (("a", 7L, 4L, 2L, 1L, 0.285714, 4.5)))
+    assert(got(1) == (("b", 4L, 2L, 0L, 2L, 0.0, 2.0)))
+  }
+
   test("temporalTvd: identical days 0, disjoint days 1, hand-computed mixed pair; gaps break the chain") {
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")

@@ -7,6 +7,29 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class PackingSpec extends AnyFunSuite {
 
+  test("paddingWaste: min-cap pick, exact-power boundary, truncation above top cap, zero-token doc") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Seq(
+      (1L, 3L),    // -> 4 bucket, waste 1/4
+      (2L, 4L),    // exactly 4 -> 4 bucket, zero waste
+      (3L, 5L),    // -> 8
+      (4L, 100L),  // above top cap 16 -> truncates to 16
+      (5L, 0L)     // zero tokens -> smallest bucket, full waste
+    ).toDF("doc_id", "n")
+    val got = Packing.paddingWaste(docs, col("n"), caps = Seq(4L, 8L, 16L))
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (4L, 3L, 7L, 0L, 12L, 0.416667),   // docs 1,2,5: kept 3+4+0
+      (8L, 1L, 5L, 0L, 8L, 0.375),
+      (16L, 1L, 16L, 84L, 16L, 0.0)))    // doc 4 truncated by 84
+    intercept[IllegalArgumentException] {
+      Packing.paddingWaste(docs, col("n"), caps = Seq(8L, 4L))
+    }
+  }
+
   private lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-packing")
