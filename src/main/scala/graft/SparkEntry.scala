@@ -1152,6 +1152,111 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    "q100_link_graph" -> ((s, dir) => {
+      // link-graph extraction (north_rule web surface): every doc gets
+      // a deterministic page carrying two messy absolute anchors
+      // (mixed-case scheme/host, www., :443, tracking params,
+      // fragment) plus one relative anchor that must be dropped; the
+      // operator chain regex-extracts hrefs, canonicalizes, parses the
+      // target doc id, and audits in/out-degree + distinct dst hosts.
+      // The oracle recomputes the expected edges ARITHMETICALLY from
+      // doc_id — ground truth, not mirrored regexes.
+      val docs = s.read.parquet(p(dir, "documents"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val pages = docs.crossJoin(broadcast(n))
+        .withColumn("__d1", pmod(col("doc_id") * 31 + 7, col("__n")))
+        .withColumn("__d2", pmod(col("doc_id") * 31 + 14, col("__n")))
+        .select(col("doc_id"),
+          concat(
+            lit("<html><body><p>"), col("text"), lit("</p>"),
+            lit("<a HREF=\"HTTPS://WWW.src"), pmod(col("__d1"), lit(20L)),
+            lit(".Example.com:443/doc/"), col("__d1"),
+            lit("?utm_source=feed&id="), col("__d1"), lit("#top\">a</a>"),
+            lit("<a href=\"https://src"), pmod(col("__d2"), lit(20L)),
+            lit(".example.com/doc/"), col("__d2"), lit("\">b</a>"),
+            lit("<a href=\"/about\">rel</a></body></html>")).as("html"))
+      val edges = graft.ops.Web.linkEdges(pages, col("html"), col("doc_id"))
+        .withColumn("dst_id",
+          regexp_extract(col("url"), "/doc/([0-9]+)", 1).cast("long"))
+      val out = edges.groupBy(col("src_id").as("doc_id"))
+        .agg(count(lit(1)).as("out_degree"),
+          countDistinct(col("dst_host")).as("n_dst_hosts"))
+      val in = edges.groupBy(col("dst_id").as("doc_id"))
+        .agg(count(lit(1)).as("in_degree"))
+      docs.select(col("doc_id"))
+        .join(out, Seq("doc_id"), "left")
+        .join(in, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+          coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+          coalesce(col("n_dst_hosts"), lit(0L)).as("n_dst_hosts"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q101_script_mix" -> ((s, dir) => {
+      // Unicode-script mix audit: deterministic non-Latin suffixes
+      // planted by doc_id class (Cyrillic / Han / Arabic), identical
+      // plant in the oracle, which recomputes the per-script counts
+      // with RE2 script classes (Java \p{IsX} == RE2 \p{X} here)
+      val docs = s.read.parquet(p(dir, "documents"))
+      val mixed = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 1, lit(" привет мир данные модель"))
+            .when(pmod(col("doc_id"), lit(4)) === 2, lit(" 数据 清洗 模型 语料"))
+            .when(pmod(col("doc_id"), lit(4)) === 3, lit(" بيانات نموذج تدريب"))
+            .otherwise(lit(""))).as("text"))
+      graft.ops.TextAnalysis.scriptProfile(mixed)
+        .select(col("doc_id"),
+          col("n_latin").cast("long").as("n_latin"),
+          col("n_cyrillic").cast("long").as("n_cyrillic"),
+          col("n_han").cast("long").as("n_han"),
+          col("n_arabic").cast("long").as("n_arabic"),
+          col("n_digit").cast("long").as("n_digit"),
+          col("non_latin_frac"), col("dominant_script"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q102_shingle_containment" -> ((s, dir) => {
+      // asymmetric near-dup verifier: exact shingle containment over
+      // the SAME candidate pairs x04 emits (identical minhashLsh
+      // call); the oracle reads Verify's x04 dump and recomputes both
+      // containment directions exactly in SQL
+      val docs = s.read.parquet(p(dir, "documents"))
+      val pairs = Dedup.minhashLsh(docs, threshold = 0.2)
+        .select(col("id_a"), col("id_b"))
+      Dedup.shingleContainment(docs, pairs, n = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q103_incremental_dedup" -> ((s, dir) => {
+      // crawl-refresh dedup: OLD = doc_id%10 in [0,8), NEW = the rest;
+      // every NEW doc gets a verdict against the frozen OLD hash index
+      // plus within-batch first-seen resolution
+      val docs = s.read.parquet(p(dir, "documents"))
+      val oldDocs = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+      val newDocs = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      Dedup.incrementalDedup(oldDocs, newDocs)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q104_hll_distinct" -> ((s, dir) => {
+      // HyperLogLog (relational form, p=10) vs exact distinct per
+      // source — registers, estimate, and correction all recomputed
+      // independently by the oracle from the same md5-derived 56-bit
+      // hash (integer register mass, so no float-summation-order gap)
+      val docs = s.read.parquet(p(dir, "documents"))
+      val est = graft.ops.Sketches.hllDistinct(docs, "text", "source", p = 10)
+      val exact = docs.groupBy(col("source"))
+        .agg(countDistinct(col("text")).as("exact_distinct"))
+      est.join(exact, Seq("source"))
+        .withColumn("rel_err",
+          round(abs(col("hll_estimate") - col("exact_distinct").cast("double")) /
+            greatest(col("exact_distinct"), lit(1L)).cast("double"), 4))
+        .select(col("source"), col("m"), col("nonzero_buckets"),
+          col("hll_estimate"), col("exact_distinct"), col("rel_err"))
+        .orderBy(col("source"))
+    }),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -3679,6 +3784,173 @@ object SparkEntry {
         |  round((count(*) * bucket - sum(kept))::DOUBLE
         |    / (count(*) * bucket)::DOUBLE, 6) AS waste_frac
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // link-graph oracle: the expected edge list is recomputed
+    // ARITHMETICALLY from doc_id (dst = (id*31+7k) mod n, host class
+    // = dst mod 20) — ground truth for the whole extract ->
+    // canonicalize -> parse chain, not a mirrored regex
+    "q100_link_graph" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |e AS (
+        |  SELECT doc_id AS src_id, (doc_id * 31 + 7) % n.n AS dst_id
+        |  FROM documents, n
+        |  UNION ALL
+        |  SELECT doc_id AS src_id, (doc_id * 31 + 14) % n.n AS dst_id
+        |  FROM documents, n),
+        |o AS (
+        |  SELECT src_id AS doc_id, count(*)::BIGINT AS out_degree,
+        |    count(DISTINCT dst_id % 20)::BIGINT AS n_dst_hosts
+        |  FROM e GROUP BY 1),
+        |i AS (
+        |  SELECT dst_id AS doc_id, count(*)::BIGINT AS in_degree
+        |  FROM e GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(o.out_degree, 0)::BIGINT AS out_degree,
+        |  coalesce(i.in_degree, 0)::BIGINT AS in_degree,
+        |  coalesce(o.n_dst_hosts, 0)::BIGINT AS n_dst_hosts
+        |FROM documents d
+        |LEFT JOIN o ON d.doc_id = o.doc_id
+        |LEFT JOIN i ON d.doc_id = i.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q101_script_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 4
+        |      WHEN 1 THEN ' привет мир данные модель'
+        |      WHEN 2 THEN ' 数据 清洗 模型 语料'
+        |      WHEN 3 THEN ' بيانات نموذج تدريب'
+        |      ELSE '' END AS tx
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    (length(tx) - length(regexp_replace(tx, '\p{Latin}', '', 'g')))::BIGINT AS n_latin,
+        |    (length(tx) - length(regexp_replace(tx, '\p{Cyrillic}', '', 'g')))::BIGINT AS n_cyrillic,
+        |    (length(tx) - length(regexp_replace(tx, '\p{Han}', '', 'g')))::BIGINT AS n_han,
+        |    (length(tx) - length(regexp_replace(tx, '\p{Arabic}', '', 'g')))::BIGINT AS n_arabic,
+        |    (length(tx) - length(regexp_replace(tx, '\p{Nd}', '', 'g')))::BIGINT AS n_digit
+        |  FROM t),
+        |s AS (
+        |  SELECT *, n_latin + n_cyrillic + n_han + n_arabic AS letters FROM c)
+        |SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_digit,
+        |  CASE WHEN letters > 0
+        |    THEN round((letters - n_latin)::DOUBLE / letters::DOUBLE, 6)
+        |    ELSE 0.0 END AS non_latin_frac,
+        |  CASE WHEN letters = 0 THEN 'none'
+        |    WHEN n_latin >= greatest(n_cyrillic, n_han, n_arabic) THEN 'latin'
+        |    WHEN n_cyrillic >= greatest(n_han, n_arabic) THEN 'cyrillic'
+        |    WHEN n_han >= n_arabic THEN 'han'
+        |    ELSE 'arabic' END AS dominant_script
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // containment oracle over Verify's own x04 pair dump (the x25
+    // pattern): DuckDB rebuilds the exact shingle sets (same degrade
+    // rule for sub-n docs) and both containment directions
+    "q102_shingle_containment" ->
+      """WITH toksq AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN len(tk) >= 3 THEN array_to_string(tk[g.i : g.i + 2], ' ')
+        |         ELSE array_to_string(tk, ' ') END AS shingle
+        |  FROM toksq,
+        |    LATERAL unnest(generate_series(1, greatest(len(tk) - 2, 1))) g(i)),
+        |sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+        |pr AS (SELECT DISTINCT id_a, id_b
+        |       FROM '__VERIFY_OUT__/x04_minhash_lsh/*.parquet'),
+        |inter AS (
+        |  SELECT p.id_a, p.id_b, count(*)::BIGINT AS n_common
+        |  FROM pr p
+        |  JOIN sh a ON a.doc_id = p.id_a
+        |  JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b,
+        |  sa.n_sh AS n_shingles_a, sb.n_sh AS n_shingles_b,
+        |  coalesce(i.n_common, 0)::BIGINT AS n_common,
+        |  round(coalesce(i.n_common, 0)::DOUBLE
+        |    / greatest(sa.n_sh, 1)::DOUBLE, 6) AS containment_a_in_b,
+        |  round(coalesce(i.n_common, 0)::DOUBLE
+        |    / greatest(sb.n_sh, 1)::DOUBLE, 6) AS containment_b_in_a,
+        |  (round(coalesce(i.n_common, 0)::DOUBLE
+        |     / greatest(sa.n_sh, 1)::DOUBLE, 6) >= 0.9
+        |   OR round(coalesce(i.n_common, 0)::DOUBLE
+        |     / greatest(sb.n_sh, 1)::DOUBLE, 6) >= 0.9) AS superset_dup
+        |FROM pr p
+        |JOIN sz sa ON sa.doc_id = p.id_a
+        |JOIN sz sb ON sb.doc_id = p.id_b
+        |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        |ORDER BY p.id_a, p.id_b""".stripMargin,
+
+    "q103_incremental_dedup" ->
+      """WITH oldd AS (SELECT * FROM documents WHERE doc_id % 10 < 8),
+        |newd AS (SELECT * FROM documents WHERE doc_id % 10 >= 8),
+        |oh AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+        |    min(doc_id)::BIGINT AS old_id
+        |  FROM oldd GROUP BY 1),
+        |nh AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+        |  FROM newd),
+        |fn AS (
+        |  SELECT doc_id, h,
+        |    min(doc_id) OVER (PARTITION BY h) AS first_new_id
+        |  FROM nh)
+        |SELECT fn.doc_id, fn.h AS content_hash,
+        |  CASE WHEN oh.old_id IS NOT NULL THEN 'dup_of_old'
+        |       WHEN fn.doc_id > fn.first_new_id THEN 'dup_in_new'
+        |       ELSE 'unique' END AS verdict,
+        |  coalesce(oh.old_id, fn.first_new_id)::BIGINT AS canonical_id
+        |FROM fn LEFT JOIN oh ON fn.h = oh.h
+        |ORDER BY fn.doc_id""".stripMargin,
+
+    // HLL oracle: DuckDB rebuilds the registers bit-for-bit from the
+    // same 56-bit md5-nibble hash (the 14-term horner sum below IS
+    // Spark's conv(substring(md5,1,14),16,10)), sums register mass in
+    // integers, and applies the same estimator + linear-counting
+    // correction in the same IEEE operation order
+    "q104_hll_distinct" -> {
+      val hexSum = (1 to 14).map { i =>
+        val pw = BigInt(16).pow(14 - i)
+        s"(strpos('0123456789abcdef', substring(mh, $i, 1)) - 1) * ${pw}::BIGINT"
+      }.mkString("\n        + ")
+      s"""WITH h0 AS (SELECT source, text, md5(text) AS mh FROM documents),
+         |hv AS (SELECT source,
+         |  ($hexSum)::BIGINT AS h
+         |  FROM h0),
+         |reg AS (
+         |  SELECT source, h % 1024 AS bucket,
+         |    CASE WHEN h // 1024 = 0 THEN 47
+         |         ELSE 47 - length(bin(h // 1024)) END AS rho
+         |  FROM hv),
+         |mx AS (SELECT source, bucket, max(rho) AS r FROM reg GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT source, count(*)::BIGINT AS nonzero_buckets,
+         |    sum(1::BIGINT << (47 - r))::BIGINT AS mass
+         |  FROM mx GROUP BY 1),
+         |est AS (
+         |  SELECT source, nonzero_buckets,
+         |    (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 * 140737488355328.0
+         |      / (mass + (1024 - nonzero_buckets) * 140737488355328)::DOUBLE AS raw_e
+         |  FROM agg),
+         |he AS (
+         |  SELECT source, nonzero_buckets,
+         |    round(CASE WHEN raw_e <= 2560.0 AND (1024 - nonzero_buckets) > 0
+         |      THEN 1024.0 * ln(1024.0 / (1024 - nonzero_buckets)::DOUBLE)
+         |      ELSE raw_e END, 4) AS hll_estimate
+         |  FROM est),
+         |x AS (
+         |  SELECT source, count(DISTINCT text)::BIGINT AS exact_distinct
+         |  FROM documents GROUP BY 1)
+         |SELECT he.source, 1024::BIGINT AS m, he.nonzero_buckets,
+         |  he.hll_estimate, x.exact_distinct,
+         |  round(abs(he.hll_estimate - x.exact_distinct::DOUBLE)
+         |    / greatest(x.exact_distinct, 1)::DOUBLE, 4) AS rel_err
+         |FROM he JOIN x ON he.source = x.source
+         |ORDER BY he.source""".stripMargin
+    },
 
     // filter-agreement over Verify's own q11/q79 dumps: counts are
     // BIGINT, every ratio rounds(6), composite terms (pe, f1, kappa)

@@ -330,6 +330,84 @@ object Dedup {
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
   }
 
+  /** Exact shingle CONTAINMENT for candidate pairs — the asymmetric
+    * companion to [[ngramJaccard]]: C(A⊆B) = |A∩B| / |A|. Jaccard
+    * misses subset duplication (a short article quoted whole inside a
+    * long aggregator page scores low Jaccard but containment ≈ 1),
+    * which is exactly the near-dup class quote farms and scraper
+    * wrappers produce. Emits both directions plus the shingle-set
+    * sizes, and a `superset_dup` flag when either direction clears
+    * `minContainment`.
+    *
+    * Scale shape: pairs-driven like the Jaccard verifier — shingle
+    * arrays are built per DOC (semi-join-prunable to docs that appear
+    * in pairs), the pair join is two hash joins on doc id, and the
+    * intersection is a per-row array op. No corpus self-join; cost is
+    * O(|pairs| × shingles/doc).
+    */
+  def shingleContainment(docs: DataFrame, pairs: DataFrame, n: Int = 3,
+                         minContainment: Double = 0.9,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .withColumn("n_shingles_a", size(col("sh_a")).cast("long"))
+      .withColumn("n_shingles_b", size(col("sh_b")).cast("long"))
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("containment_a_in_b",
+        round(col("n_common").cast("double") /
+          greatest(col("n_shingles_a"), lit(1L)).cast("double"), 6))
+      .withColumn("containment_b_in_a",
+        round(col("n_common").cast("double") /
+          greatest(col("n_shingles_b"), lit(1L)).cast("double"), 6))
+      .withColumn("superset_dup",
+        col("containment_a_in_b") >= minContainment ||
+          col("containment_b_in_a") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("n_shingles_a"), col("n_shingles_b"),
+        col("n_common"), col("containment_a_in_b"), col("containment_b_in_a"),
+        col("superset_dup"))
+  }
+
+  /** Incremental (cross-batch) exact dedup — the crawl-refresh shape:
+    * a NEW batch arrives and must dedup (a) against the frozen,
+    * already-curated OLD corpus and (b) within itself, without ever
+    * re-deduping OLD. Verdict per new doc:
+    *   - `dup_of_old`  — its normalized-content hash exists in OLD;
+    *   - `dup_in_new`  — first seen in NEW at a smaller id;
+    *   - `unique`      — neither.
+    * `canonical_id` is the survivor the duplicate collapses into (the
+    * min OLD id for dup_of_old, the min NEW id sharing the hash
+    * otherwise — its own id when unique).
+    *
+    * Scale shape: OLD contributes ONE hash-keyed aggregate (hash ->
+    * min id), re-usable as a persisted dedup index across refreshes;
+    * the join is hash-keyed (broadcastable while the index is small,
+    * one shuffle when not); within-new resolution is a single
+    * hash-partitioned min window. At 10^12 docs the OLD index is the
+    * thing you store instead of rescanning the corpus — this operator
+    * IS the maintenance contract for it.
+    */
+  def incrementalDedup(oldDocs: DataFrame, newDocs: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val oldIdx = oldDocs
+      .select(fingerprint(col(textCol)).as("h"), col(idCol).as("__old_id"))
+      .groupBy(col("h")).agg(min(col("__old_id")).as("old_id"))
+    val hashed = newDocs.select(col(idCol), fingerprint(col(textCol)).as("h"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    hashed
+      .withColumn("first_new_id", min(col(idCol)).over(w))
+      .join(oldIdx, Seq("h"), "left")
+      .withColumn("verdict",
+        when(col("old_id").isNotNull, lit("dup_of_old"))
+          .when(col(idCol) > col("first_new_id"), lit("dup_in_new"))
+          .otherwise(lit("unique")))
+      .withColumn("canonical_id",
+        coalesce(col("old_id"), col("first_new_id")))
+      .select(col(idCol), col("h").as("content_hash"), col("verdict"),
+        col("canonical_id"))
+  }
+
   /** Test-set decontamination (the GPT-3-style benchmark-overlap
     * rule): flag every document sharing at least one word `n`-gram
     * with the benchmark/eval set, with the count of distinct shared

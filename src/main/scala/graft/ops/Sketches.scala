@@ -276,4 +276,68 @@ object Sketches {
       .select(col("word").as(keyCol), col("n"), col("share"))
       .orderBy(col("share").desc, col(keyCol))
   }
+
+  /** HyperLogLog distinct-count estimate per group — the canonical
+    * fixed-size cardinality sketch (Flajolet et al. 2007), in its
+    * RELATIONAL form: two hash aggregations, no UDAF, everything in
+    * whole-stage codegen. Register build is `(group, bucket) -> max
+    * rho`, estimate is one `group` aggregation over at most m register
+    * rows per group — at 10^12 rows the shuffle carries only
+    * register-sized partial maxima (map-side combine collapses each
+    * partition to ≤ m rows per group before the exchange).
+    *
+    * Deterministic, dialect-portable hashing so an independent SQL
+    * engine reproduces the registers bit-for-bit: a 56-bit value from
+    * the first 14 hex nibbles of md5(value); bucket = low p bits
+    * (h mod m), rho = leading-zero count of the remaining 56-p bits
+    * plus one via the unpadded binary-string length (identical in
+    * Spark and DuckDB). All register mass is summed in INTEGER
+    * arithmetic scaled by 2^(wBits+1) — float summation order can
+    * round, integers cannot — and converted to double exactly once.
+    * Small-range (linear-counting) correction applied below 2.5m when
+    * empty registers exist, per the paper.
+    *
+    * vs [[KmvDistinct]]: KMV is exact below k and mergeable as a typed
+    * Aggregator; HLL is 6x smaller state at equal error (1.04/sqrt(m))
+    * and is the industry interchange format. Both are one-scan.
+    */
+  def hllDistinct(df: DataFrame, valueCol: String, groupCol: String,
+                  p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1L << p
+    val wBits = 56 - p
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 14), 16, 10)
+      .cast("long")
+    val registers = df
+      .select(col(groupCol), h.as("__h"))
+      .select(col(groupCol),
+        pmod(col("__h"), lit(m)).as("__bucket"),
+        expr(s"__h DIV ${m}L").as("__w"))
+      .withColumn("__rho",
+        // Spark's bin() is unpadded for positive values; w == 0 (all
+        // wBits zero) gets the sentinel rho = wBits + 1 explicitly
+        when(col("__w") === 0, lit(wBits + 1))
+          .otherwise(lit(wBits + 1) - length(bin(col("__w")))))
+      .groupBy(col(groupCol), col("__bucket"))
+      .agg(max(col("__rho")).as("__r"))
+    // integer register mass: 2^(wBits+1 - rho) per register, exact
+    val scaled = registers
+      .withColumn("__mass",
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${wBits + 1} - __r AS INT))"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("nonzero_buckets"), sum(col("__mass")).as("__mass_sum"))
+    val scale = math.pow(2.0, wBits + 1).toLong // exact: 2^47 < 2^53
+    val totalMass = col("__mass_sum") + (lit(m) - col("nonzero_buckets")) * lit(scale)
+    val rawE = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))) *
+      lit(m.toDouble) * lit(m.toDouble) * lit(scale.toDouble) /
+      totalMass.cast("double")
+    val zeros = lit(m) - col("nonzero_buckets")
+    val est = when(rawE <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(rawE)
+    scaled
+      .withColumn("m", lit(m))
+      .withColumn("hll_estimate", round(est, 4))
+      .select(col(groupCol), col("m"), col("nonzero_buckets"), col("hll_estimate"))
+  }
 }

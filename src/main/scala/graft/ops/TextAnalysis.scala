@@ -342,4 +342,48 @@ object TextAnalysis {
       // mod 2^31-1 each step: bounded (no ANSI overflow), same rolling form
       (acc, ch) => pmod(acc * 1000003L + coalesce(ascii(ch).cast("long"), lit(0L)),
         lit(2147483647L)))
+
+  /** Per-script character counts: number of characters of `text` in
+    * the given Unicode script (Java regex script class, e.g.
+    * "\\p{IsCyrillic}"). Length-difference form — one codegen'd
+    * regexp_replace, no explode.
+    */
+  def scriptChars(text: Column, javaScriptClass: String): Column = {
+    val t = coalesce(text, lit(""))
+    length(t) - length(regexp_replace(t, javaScriptClass, ""))
+  }
+
+  /** Unicode-script mix profile — the multilingual-curation audit that
+    * language-ID alone misses: a "en"-labeled page that is 40% CJK is
+    * either mislabeled, boilerplate-injected, or a scrape artifact.
+    * Emits per-row counts for the four major scripts + decimal digits,
+    * the non-Latin letter fraction, and the dominant script (most
+    * chars; ties break latin > cyrillic > han > arabic > none —
+    * deterministic, and `none` only when all four are zero).
+    *
+    * Scale shape: five codegen'd regexp_replace projections per row,
+    * map-side only — zero shuffle; the downstream per-corpus rollup is
+    * whatever the caller groups by.
+    */
+  def scriptProfile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val withCounts = docs
+      .withColumn("n_latin", scriptChars(t, "\\p{IsLatin}"))
+      .withColumn("n_cyrillic", scriptChars(t, "\\p{IsCyrillic}"))
+      .withColumn("n_han", scriptChars(t, "\\p{IsHan}"))
+      .withColumn("n_arabic", scriptChars(t, "\\p{IsArabic}"))
+      .withColumn("n_digit", scriptChars(t, "\\p{Nd}"))
+    val letters = col("n_latin") + col("n_cyrillic") + col("n_han") + col("n_arabic")
+    withCounts
+      .withColumn("non_latin_frac",
+        when(letters > 0,
+          round((letters - col("n_latin")).cast("double") / letters.cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("dominant_script",
+        when(letters === 0, lit("none"))
+          .when(col("n_latin") >= greatest(col("n_cyrillic"), col("n_han"), col("n_arabic")), lit("latin"))
+          .when(col("n_cyrillic") >= greatest(col("n_han"), col("n_arabic")), lit("cyrillic"))
+          .when(col("n_han") >= col("n_arabic"), lit("han"))
+          .otherwise(lit("arabic")))
+  }
 }

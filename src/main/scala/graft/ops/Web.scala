@@ -98,4 +98,34 @@ object Web {
       .withColumn("boilerplate",
         col("df_frac") >= lit(minFrac))
   }
+
+  /** `href="..."` attribute values, double-quoted form (the synthetic
+    * corpus and most crawl HTML; single-quoted/bare attrs are a
+    * deployment-time second pattern in the same shape).
+    */
+  val hrefRe: String = "(?i)href\\s*=\\s*\"([^\"]*)\""
+
+  /** Outlink extraction — the link-graph half of web extraction
+    * (PageRank/harmonic-centrality inputs, anchor audits, crawl
+    * frontier expansion all start here): pull every `href` from a
+    * page, canonicalize it, keep absolute http(s) targets. One row
+    * per (page, link) with the raw href, its canonical URL, and the
+    * destination host.
+    *
+    * Scale shape: `regexp_extract_all` + `posexplode`-free `explode`
+    * is a pure map-side projection (codegen'd, no shuffle); the output
+    * is edge-list-sized, and every downstream degree/host aggregation
+    * shuffles on the edge key it needs, nothing wider. A page with no
+    * links (or null html) emits zero edges — degree joins must outer-
+    * join back to the page table, which is what a degree audit does
+    * anyway.
+    */
+  def linkEdges(pages: DataFrame, htmlCol: Column, idCol: Column): DataFrame =
+    pages
+      .select(idCol.as("src_id"),
+        explode(regexp_extract_all(coalesce(htmlCol, lit("")),
+          lit(hrefRe), lit(1))).as("href"))
+      .withColumn("url", canonicalizeUrl(col("href")))
+      .filter(col("url").rlike("^https?://"))
+      .withColumn("dst_host", hostOf(col("url")))
 }

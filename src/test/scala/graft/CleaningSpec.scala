@@ -57,4 +57,29 @@ class CleaningSpec extends AnyFunSuite {
         if (r.isNullAt(0)) null else r.getString(0)).toSeq
     assert(got == Seq(null, "", ""))
   }
+
+  test("scriptProfile: per-script counts, non-latin fraction, dominant script") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "hello world"),
+      (2L, "привет мир"),
+      (3L, "数据清洗"),
+      (4L, "بيانات"),
+      (5L, "abc данные 123"),
+      (6L, "123 !!!")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(d).orderBy("doc_id").collect().map { r =>
+      (r.getAs[Long]("doc_id"),
+        (r.getAs[Number]("n_latin").longValue, r.getAs[Number]("n_cyrillic").longValue,
+          r.getAs[Number]("n_han").longValue, r.getAs[Number]("n_arabic").longValue,
+          r.getAs[Number]("n_digit").longValue),
+        r.getAs[Double]("non_latin_frac"), r.getAs[String]("dominant_script"))
+    }
+    assert(got(0) == ((1L, (10L, 0L, 0L, 0L, 0L), 0.0, "latin")))
+    assert(got(1) == ((2L, (0L, 9L, 0L, 0L, 0L), 1.0, "cyrillic")))
+    assert(got(2) == ((3L, (0L, 0L, 4L, 0L, 0L), 1.0, "han")))
+    assert(got(3) == ((4L, (0L, 0L, 0L, 6L, 0L), 1.0, "arabic")))
+    assert(got(4) == ((5L, (3L, 6L, 0L, 0L, 3L), 0.666667, "cyrillic")))
+    assert(got(5) == ((6L, (0L, 0L, 0L, 0L, 3L), 0.0, "none")))
+  }
 }

@@ -638,4 +638,34 @@ class DedupSpec extends AnyFunSuite {
       ("books", "wiki", 1L, 2L, 1L),
       ("web", "web", 1L, 3L, 3L)))
   }
+
+  test("shingleContainment: subset doc scores 1.0 one-way; disjoint pair scores 0") {
+    import spark.implicits._
+    val core = "the quick brown fox jumps over the lazy dog" // 9 tokens -> 7 shingles
+    val d = docs(
+      (1L, core),
+      (2L, "intro words here " + core + " and a long tail of extra words follows after"),
+      (3L, "completely different content entirely with more words padding the set"))
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.shingleContainment(d, pairs).orderBy("id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getDouble(5), r.getBoolean(7)))
+    // (id_a, id_b, n_shingles_a, n_common, containment_a_in_b, superset_dup)
+    assert(got(0) == ((1L, 2L, 7L, 7L, 1.0, true)))
+    assert(got(1) == ((1L, 3L, 7L, 0L, 0.0, false)))
+  }
+
+  test("incrementalDedup: dup_of_old / dup_in_new / unique with canonical survivors") {
+    val oldD = docs((1L, "alpha text"), (2L, "beta text"))
+    val newD = docs(
+      (10L, "Alpha  TEXT"),  // normalizes to old doc 1's content
+      (11L, "gamma text"), (12L, "gamma text"), (13L, "delta text"))
+    val got = Dedup.incrementalDedup(oldD, newD).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (10L, "dup_of_old", 1L),
+      (11L, "unique", 11L),
+      (12L, "dup_in_new", 11L),
+      (13L, "unique", 13L)))
+  }
 }

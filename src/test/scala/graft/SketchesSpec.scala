@@ -109,4 +109,26 @@ class SketchesSpec extends AnyFunSuite {
     assert(est(words.repartition(1), 4096) == e)
     assert(est(words.repartition(32), 4096) == e)
   }
+
+  test("HLL: within bound at 5k distinct, partitioning-invariant, linear counting near-exact") {
+    import spark.implicits._
+    val n = 5000
+    val base = (0 until n).map(i => ("g", s"val_$i")).toDF("source", "text")
+    val dup = base.union(base) // duplicates must not move the estimate
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.hllDistinct(d, "text", "source", p = 10).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+    val got = run(dup)
+    assert(got.size == 1 && got.head._2 == 1024L)
+    val est5k = got.head._4
+    // standard error 1.04/sqrt(1024) ~ 3.25%; 3 sigma ~ 10%
+    assert(math.abs(est5k - n) / n < 0.10, s"estimate $est5k too far from $n")
+    // register build is a max-agg: identical under any partitioning
+    assert(run(dup.repartition(1)) == got)
+    assert(run(dup.repartition(16)) == got)
+    // tiny cardinality -> linear-counting branch, near-exact
+    val small = (0 until 50).map(i => ("s", s"v$i")).toDF("source", "text")
+    val se = run(small).head._4
+    assert(math.abs(se - 50.0) <= 2.0, s"linear-counting estimate $se off from 50")
+  }
 }

@@ -92,4 +92,21 @@ class WebSpec extends AnyFunSuite {
       .filter(col("boilerplate")).collect()
     assert(strict.map(_.getString(1)).toSeq == Seq("footer line"))
   }
+
+  test("linkEdges: extracts, canonicalizes, keeps absolute http(s) only; null html emits none") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "<a HREF=\"HTTPS://WWW.Site.COM:443/doc/7?utm_source=x&id=7#top\">a</a> " +
+        "<a href=\"http://other.org/p\">b</a> <a href=\"/rel\">r</a> " +
+        "<a href=\"mailto:x@y.z\">m</a>"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "no links here")
+    ).toDF("doc_id", "html")
+    val got = Web.linkEdges(pages, col("html"), col("doc_id"))
+      .orderBy("src_id", "url").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, "http://other.org/p", "other.org"),
+      (1L, "https://site.com/doc/7?id=7", "site.com")))
+  }
 }
