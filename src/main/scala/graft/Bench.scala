@@ -197,9 +197,22 @@ object Bench {
     }
   }
 
+  /** Per-pair pure-codegen ceiling gate (see quiet()): the box shows
+    * minute-scale "phantom load" windows that none of ext_cores /
+    * steal / cpu_busy can see (co-tenant CPU not attributed to this
+    * guest, guest jiffies keep counting) — but the box's OWN
+    * pure-compute N→4N ceiling drops from 0.80-0.85 to 0.65-0.77 in
+    * them (measured round 4: four consecutive runs with every pair
+    * "quiet" by the process signals and the window ceiling at
+    * 0.655-0.767). A pair measured in such a window is not evidence
+    * about the pipeline; 0.78 splits the two observed populations.
+    */
+  private val pairCeilingGate = 0.78
+
   private final case class Pair(secN: Double, sec4: Double, docs: Long,
                                 load: Double, stealPct: Double,
-                                cpuN: Double, cpu4: Double, extCores: Double) {
+                                cpuN: Double, cpu4: Double, extCores: Double,
+                                probeEff: Double) {
     /** CPU-time utilization of each level: cpu/(wall*cores). A level
       * whose tasks were runnable but descheduled by the HOST (invisible
       * steal — guest jiffies freeze, /proc/stat steal stays 0) shows
@@ -217,11 +230,17 @@ object Bench {
       * catches the box's OTHER pathology: invisible host descheduling
       * (tasks runnable but not running; no /proc/stat steal). A
       * sentinel child cpu (-1, non-com.sun MXBean) falls back to the
-      * load average.
+      * load average. The pair's own pure-codegen ceiling probe
+      * (probeEff) joined the rule after four r4 runs where every
+      * process-level signal read quiet but the window ceiling was
+      * 0.655-0.767 — phantom host load only the box's own scaling can
+      * reveal. A failed probe (-1) does not gate.
       */
-    def quiet(bigCores: Int): Boolean =
-      if (cpuN < 0 || cpu4 < 0) load < 2.0 && stealPct < 0.5
-      else extCores < 0.5 && busy4(bigCores) >= 0.85 && stealPct < 0.5
+    def quiet(bigCores: Int): Boolean = {
+      val ceilOk = probeEff < 0 || probeEff >= pairCeilingGate
+      if (cpuN < 0 || cpu4 < 0) load < 2.0 && stealPct < 0.5 && ceilOk
+      else extCores < 0.5 && busy4(bigCores) >= 0.85 && stealPct < 0.5 && ceilOk
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -258,7 +277,8 @@ object Bench {
     // steal joined the rule in r4 after a pair with 1.7% steal and
     // eff 0.556 classified quiet (ext_cores can't see HOST-side
     // contention; visible steal can)
-    val quietRule = "ext_cores<0.5 & cpu_busy_4n>=0.85 & steal_pct<0.5"
+    val quietRule =
+      s"ext_cores<0.5 & cpu_busy_4n>=0.85 & steal_pct<0.5 & pair_ceiling>=$pairCeilingGate"
     // 5 quiet pairs: the short 4N runs vary ~±15% run-to-run on this
     // box even in quiet windows, and a 3-pair median is hostage to one
     // outlier; 5 stabilizes it at ~36 s/pair
@@ -317,11 +337,19 @@ object Bench {
         val selfCpu = math.max(0.0, cpuN) + math.max(0.0, cpu4) +
           math.max(0.0, processCpuSec() - pcpu0)
         val extCores = math.max(0.0, (busy1 - busy0) / 100.0 - selfCpu) / wall
-        pairs += Pair(secN, sec4, docsN, load, stealPct, cpuN, cpu4, extCores)
+        // per-pair ceiling probe AFTER the co-tenant window closes (so
+        // its own cpu never counts into extCores): the same
+        // pure-codegen calib job on both level JVMs, ~5s total
+        val (pn, p4) =
+          try { val a = srvN.calib(); (a, srv4.calib()) }
+          catch { case _: Throwable => (-1.0, -1.0) }
+        val probeEff = if (pn > 0 && p4 > 0) pn / (4.0 * p4) else -1.0
+        pairs += Pair(secN, sec4, docsN, load, stealPct, cpuN, cpu4, extCores, probeEff)
         System.err.println(f"[bench] pair ${i + 1}: N=$secN%.1fs 4N=$sec4%.1fs " +
           f"eff=${pairs.last.eff}%.3f load=$load%.2f ext=$extCores%.2f " +
           f"steal=$stealPct%.1f%% busyN=${pairs.last.busyN(smallCores)}%.2f " +
-          f"busy4=${pairs.last.busy4(bigCores)}%.2f quiet=${pairs.last.quiet(bigCores)}")
+          f"busy4=${pairs.last.busy4(bigCores)}%.2f ceil=$probeEff%.3f " +
+          f"quiet=${pairs.last.quiet(bigCores)}")
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] level server failed mid-pair: $e")
@@ -339,6 +367,12 @@ object Bench {
       catch { case _: Throwable => (-1.0, -1.0) }
     val calibEff = if (calibN > 0 && calib4 > 0) calibN / (4.0 * calib4) else -1.0
     System.err.println(f"[bench] calib: N=$calibN%.2fs 4N=$calib4%.2fs eff=$calibEff%.3f")
+    // window ceiling = median over ALL ceiling samples (per-pair
+    // probes + the final calib pair): one post-pairs sample is
+    // hostage to a single contended minute; the median tracks the
+    // window the pairs actually ran in
+    val ceilSamples = (pairs.map(_.probeEff).toSeq :+ calibEff).filter(_ > 0).sorted
+    val calibWindow = if (ceilSamples.isEmpty) -1.0 else ceilSamples(ceilSamples.size / 2)
     srvN.quit(); srv4.quit()
 
     // headline = the median over QUIET pairs (criterion pre-declared
@@ -469,7 +503,8 @@ object Bench {
     val pairsJson = pairs.map(p =>
       f"""{"sec_n":${p.secN}%.3f,"sec_4n":${p.sec4}%.3f,"eff":${p.eff}%.3f,""" +
         f""""load_1m":${p.load}%.2f,"ext_cores":${p.extCores}%.2f,"steal_pct":${p.stealPct}%.2f,""" +
-        f""""cpu_busy_n":${p.busyN(smallCores)}%.3f,"cpu_busy_4n":${p.busy4(bigCores)}%.3f}""").mkString("[", ",", "]")
+        f""""cpu_busy_n":${p.busyN(smallCores)}%.3f,"cpu_busy_4n":${p.busy4(bigCores)}%.3f,""" +
+        f""""ceil":${p.probeEff}%.3f}""").mkString("[", ",", "]")
     // Two JSON emissions (round-4 fix for three rounds of driver
     // `parsed: null`): the driver captures the LAST ~2000 chars of
     // stdout and parses the FINAL line, and the full pairs+queries
@@ -482,8 +517,8 @@ object Bench {
         s""""cores_n":$smallCores,"cores_4n":$bigCores,""" +
         s""""docs_per_sec_n":${f"$tpN%.2f"},"docs_per_sec_4n":${f"$tp4%.2f"},""" +
         s""""scaling_efficiency":${f"$eff%.3f"},""" +
-        s""""calibration_pure_compute_eff":${f"$calibEff%.3f"},""" +
-        s""""efficiency_vs_host_ceiling":${f"${if (calibEff > 0) eff / calibEff else 0.0}%.3f"},""" +
+        s""""calibration_pure_compute_eff":${f"$calibWindow%.3f"},""" +
+        s""""efficiency_vs_host_ceiling":${f"${if (calibWindow > 0) eff / calibWindow else 0.0}%.3f"},""" +
         s""""quiet_rule":"$quietRule","quiet_pairs":${quietPairs.size},"pairs_total":${pairs.size},""" +
         s""""sf":"$sfDir"}"""
     val fullJson = headlineJson.dropRight(1) +
