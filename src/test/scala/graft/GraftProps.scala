@@ -91,9 +91,14 @@ object GraftProps extends Properties("graft") {
       val out = Summarizer.summarize(text, 0.3)
       val inSents = TextOps.splitSentences(text)
       val outSents = TextOps.splitSentences(out)
-      // subset with order: indices strictly increasing
-      val idx = outSents.map(s => inSents.indexOf(s))
-      idx.forall(_ >= 0) && idx == idx.sorted
+      // ordered-subsequence check with a forward cursor: duplicates of
+      // the same sentence in the input are distinct occurrences, so a
+      // plain indexOf would map a kept LATER occurrence back to the
+      // first one and falsely read as out-of-order
+      val idx = outSents.foldLeft(Vector.empty[Int]) { (acc, s) =>
+        acc :+ inSents.indexOf(s, acc.lastOption.map(_ + 1).getOrElse(0))
+      }
+      idx.forall(_ >= 0)
     }
 
   property("summary picks k = max(1, floor(n*0.3)) sentences when guards pass") =
