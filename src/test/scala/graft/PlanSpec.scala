@@ -219,6 +219,48 @@ class PlanSpec extends AnyFunSuite {
       s"winnowFingerprints: expected <=2 data shuffles (x2 AQE print), got $wfHash:\n$wfPlan")
   }
 
+  test("unpartitioned windows rank bounded heads only (TakeOrdered below the window, never a corpus sort)") {
+    // The repo has exactly five unpartitioned-window sites; the three
+    // driven here rank the survivors of an orderBy.limit head. The
+    // plan must show TakeOrderedAndProject (per-partition top-k +
+    // driver merge of k rows) BELOW the window — a global SortExec of
+    // the input feeding the window would funnel the corpus through
+    // one task at 100 TB. (The other two sites — exactIntQuantiles
+    // with no keys and balanceIndex — window a value-domain histogram
+    // and a slice-count table, both aggregation-bounded by
+    // construction.) The WindowExec "No Partition Defined" WARN these
+    // emit is the expected signature of a bounded head.
+    val docs = spark.range(10000).select(
+      concat(lit("d"), col("id")).as("doc_id"),
+      (pmod(col("id"), lit(97)) + lit(1)).cast("double").as("weight"),
+      concat(lit("w"), pmod(col("id"), lit(50)), lit(" shared corpus text")).as("text"))
+
+    val ps = graft.ops.Sampling.prioritySample(docs, col("weight"), k = 7)
+    val psPlan = planOf(ps)
+    assert(psPlan.contains("TakeOrderedAndProject"),
+      s"prioritySample must TakeOrdered, not globally sort:\n$psPlan")
+    val psWin = psPlan.indexOf("Window")
+    assert(psWin >= 0 && psWin < psPlan.indexOf("TakeOrderedAndProject"),
+      s"prioritySample's rank window must sit ABOVE the k-row head:\n$psPlan")
+    assert(ps.count() == 7)
+
+    val zh = graft.ops.Distrib.zipfHeaps(docs, topN = 25)
+    val zhPlan = planOf(zh)
+    assert(zhPlan.contains("TakeOrderedAndProject"),
+      s"zipfHeaps' fit head must be TakeOrdered:\n$zhPlan")
+    val zhWin = zhPlan.indexOf("Window")
+    assert(zhWin >= 0 && zhWin < zhPlan.indexOf("TakeOrderedAndProject"),
+      s"zipfHeaps' rank window must sit ABOVE the topN head:\n$zhPlan")
+
+    val scored = docs.select(col("doc_id"), col("weight").as("score"))
+    val rbo = graft.ops.Retrieval.rankBiasedOverlap(
+      scored, scored.withColumn("score", col("score") * 2.0), k = 9, p = 0.9)
+    val rboPlan = planOf(rbo)
+    assert("TakeOrderedAndProject".r.findAllIn(rboPlan).length >= 2,
+      s"both RBO rankings must be TakeOrdered heads:\n$rboPlan")
+    assert(rbo.count() == 1)
+  }
+
   test("OCR runs once per distinct content hash (cache semantics, C5/P1)") {
     // count kernel invocations via an accumulator-free proxy: the
     // distinct-content side row count equals distinct sha2 of media
