@@ -1257,6 +1257,21 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q105_edit_verify" -> ((s, dir) => {
+      // exact edit-distance confirm stage over a deterministic pair
+      // set (id, id+1 | id % 3 == 0): length pre-gate + banded
+      // thresholded Levenshtein; the oracle recomputes the full
+      // distance and applies the same threshold rule in SQL
+      val docs = s.read.parquet(p(dir, "documents"))
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      Dedup.editDistVerify(docs, pairs, maxDist = 120)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q57_quality_deciles" -> ((s, dir) =>
       // exact decile banding by (n_chars, doc_id) global rank — the
       // scalable ntile: range-partition prefix rank + integer DIV,
@@ -3951,6 +3966,31 @@ object SparkEntry {
          |FROM he JOIN x ON he.source = x.source
          |ORDER BY he.source""".stripMargin
     },
+
+    // exact edit-distance verifier: DuckDB recomputes the FULL
+    // Levenshtein distance and applies the same length-gate/threshold
+    // rule (dist = -1 when provably > 120), so the banded Spark kernel
+    // is checked against the unbanded ground truth; sim only for
+    // scored pairs, greatest(len, 1) guards the empty-vs-empty pair
+    "q105_edit_verify" ->
+      """WITH t AS (SELECT doc_id, text FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
+        |  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 3 = 0),
+        |d AS (
+        |  SELECT id_a, id_b,
+        |    length(ta)::BIGINT AS len_a, length(tb)::BIGINT AS len_b,
+        |    (CASE WHEN abs(length(ta) - length(tb)) > 120 THEN -1
+        |          WHEN levenshtein(ta, tb) <= 120 THEN levenshtein(ta, tb)
+        |          ELSE -1 END)::BIGINT AS dist
+        |  FROM p)
+        |SELECT id_a, id_b, len_a, len_b, dist,
+        |  CASE WHEN dist >= 0
+        |       THEN round(1.0 - dist::DOUBLE / greatest(len_a, len_b, 1)::DOUBLE, 4)
+        |       END AS sim,
+        |  dist >= 0 AS within
+        |FROM d ORDER BY id_a, id_b""".stripMargin,
 
     // filter-agreement over Verify's own q11/q79 dumps: counts are
     // BIGINT, every ratio rounds(6), composite terms (pe, f1, kappa)

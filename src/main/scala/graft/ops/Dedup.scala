@@ -369,6 +369,45 @@ object Dedup {
         col("superset_dup"))
   }
 
+  /** Exact edit-distance verification for candidate pairs — the
+    * strictest confirm stage in the near-dup funnel (MinHash/SimHash
+    * candidates → Jaccard/containment → THIS): character-level
+    * Levenshtein distance, so small in-place edits (typo farms,
+    * template stamping, date-swapped reposts) that shingle sets blur
+    * are measured exactly. Emits the distance (−1 = provably above
+    * `maxDist`), the normalized similarity 1 − d/max(len) for scored
+    * pairs, and the `within` verdict.
+    *
+    * Scale shape: pairs-driven like [[ngramJaccard]] — never a corpus
+    * self-join; two hash joins fetch the texts. Per-pair cost is
+    * BANDED O(len·maxDist), not O(len²): the length pre-gate rejects
+    * |len_a−len_b| > maxDist without touching a character (the
+    * distance is at least the length gap), and the surviving pairs run
+    * Spark's thresholded `levenshtein(l, r, maxDist)` kernel, which
+    * abandons a row the moment the running band minimum exceeds the
+    * threshold. A 10^12-pair verify is budgetable: cost is
+    * |pairs| × avgLen × maxDist, with the cap chosen by the caller.
+    */
+  def editDistVerify(docs: DataFrame, pairs: DataFrame, maxDist: Int,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val t = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    pairs
+      .join(t.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), Seq("id_a"))
+      .join(t.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), Seq("id_b"))
+      .withColumn("len_a", length(col("t_a")).cast("long"))
+      .withColumn("len_b", length(col("t_b")).cast("long"))
+      .withColumn("dist",
+        when(abs(col("len_a") - col("len_b")) > maxDist, lit(-1L))
+          .otherwise(levenshtein(col("t_a"), col("t_b"), maxDist).cast("long")))
+      .select(col("id_a"), col("id_b"), col("len_a"), col("len_b"), col("dist"),
+        when(col("dist") >= 0L,
+          round(lit(1.0) - col("dist").cast("double") /
+            greatest(col("len_a"), col("len_b"), lit(1L)).cast("double"), 4))
+          .as("sim"),
+        (col("dist") >= 0L).as("within"))
+  }
+
   /** Incremental (cross-batch) exact dedup — the crawl-refresh shape:
     * a NEW batch arrives and must dedup (a) against the frozen,
     * already-curated OLD corpus and (b) within itself, without ever

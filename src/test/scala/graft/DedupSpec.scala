@@ -668,4 +668,28 @@ class DedupSpec extends AnyFunSuite {
       (12L, "dup_in_new", 11L),
       (13L, "unique", 13L)))
   }
+
+  test("editDistVerify: exact distances, threshold cutoff, length gate, empty-pair guard") {
+    val d = docs(
+      (1L, "kitten"), (2L, "sitting"),        // classic distance 3
+      (3L, "same text"), (4L, "same text"),   // identical -> 0, sim 1.0
+      (5L, "ab"), (6L, "abcdefgh"),           // len gap 6 > maxDist 3 -> gated -1
+      (7L, "abcd"), (8L, "wxyz"),             // distance 4 > maxDist 3 -> banded -1
+      (9L, ""), (10L, ""))                    // empty pair: dist 0, sim 1.0 (no /0)
+    val pairs = spark.createDataFrame(
+      Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L), (9L, 10L))
+        .map { case (a, b) => org.apache.spark.sql.Row(a, b) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id_b", org.apache.spark.sql.types.LongType))))
+    val got = Dedup.editDistVerify(d, pairs, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(4),
+        if (r.isNullAt(5)) Double.NaN else r.getDouble(5), r.getBoolean(6)))
+      .sortBy(_._1)
+    assert(got(0) == ((1L, 3L, 0.5714, true))) // round(1 - 3/7, 4)
+    assert(got(1) == ((3L, 0L, 1.0, true)))
+    assert(got(2)._2 == -1L && got(2)._3.isNaN && !got(2)._4) // length-gated
+    assert(got(3)._2 == -1L && got(3)._3.isNaN && !got(3)._4) // band-abandoned
+    assert(got(4) == ((9L, 0L, 1.0, true)))                    // greatest(len,1) guard
+  }
 }
