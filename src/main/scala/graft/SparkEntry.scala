@@ -108,10 +108,20 @@ object SparkEntry {
 
     // ---------------- text analysis (oracle-backed) ----------------
     "q07_token_count" -> ((s, dir) => {
+      // lambda-free form of size(filter(split(...), _ != "")): strip
+      // leading/trailing separator runs first, then split — interior
+      // empties cannot occur with a greedy `+` separator, so the only
+      // residual case is the all-separator string (-> 0). Keeps the
+      // whole projection in whole-stage codegen (`filter` is an
+      // interpreted per-element HOF; round-4 verdict item 6).
+      def cnt(sep: String) = {
+        val stripped = regexp_replace(col("text"), s"^$sep|$sep$$", "")
+        when(stripped === "", 0).otherwise(size(split(stripped, sep)))
+      }
       s.read.parquet(p(dir, "documents"))
         .select(col("doc_id"),
-          size(filter(split(col("text"), "\\W+"), t => t =!= "")).as("n_tokens"),
-          size(filter(split(col("text"), "\\s+"), t => t =!= "")).as("n_ws_tokens"))
+          cnt("\\W+").as("n_tokens"),
+          cnt("\\s+").as("n_ws_tokens"))
         .orderBy(col("doc_id"))
     }),
 
@@ -154,8 +164,7 @@ object SparkEntry {
       // navigation clamp arithmetic (app.py:1500-1505) over real totals
       val d = s.read.parquet(p(dir, "documents"))
         .select(col("doc_id"),
-          size(filter(transform(split(col("text"), "[.!?]\\s+"), t => trim(t)), t => t =!= ""))
-            .as("total"))
+          size(graft.functions.GraftFunctions.sentencesSql(col("text"))).as("total"))
         .filter(col("total") > 0)
       d.select(col("doc_id"), col("total"),
         least(pmod(col("doc_id"), col("total")) + 1, col("total") - 1).as("next_pos"),
@@ -176,10 +185,10 @@ object SparkEntry {
 
     "q15_stopword_ratio" -> ((s, dir) => {
       val markers = TextAnalysis.enMarkers ++ TextAnalysis.idMarkers
-      val toks = filter(split(lower(col("text")), "\\W+"), t => t =!= "")
+      val toks = graft.functions.GraftFunctions.tokenizeWords(col("text"))
       s.read.parquet(p(dir, "documents"))
         .select(col("doc_id"),
-          size(filter(toks, t => t.isin(markers.map(lit): _*))).as("marker_tokens"),
+          graft.functions.GraftFunctions.countInSet(toks, markers).as("marker_tokens"),
           size(toks).as("total_tokens"))
         .withColumn("marker_ratio",
           round(col("marker_tokens").cast("double") / greatest(col("total_tokens"), lit(1)), 4))
@@ -1261,8 +1270,16 @@ object SparkEntry {
       // exact edit-distance confirm stage over a deterministic pair
       // set (id, id+1 | id % 3 == 0): length pre-gate + banded
       // thresholded Levenshtein; the oracle recomputes the full
-      // distance and applies the same threshold rule in SQL
+      // distance and applies the same threshold rule in SQL.
+      // ASCII precondition, ENFORCED not assumed (round-4 advice):
+      // DuckDB's levenshtein counts BYTES while Spark's counts
+      // codepoints, so the oracle is ground truth only over byte-pure
+      // ASCII text. Both engines gate pair membership on
+      // octet_length == char_length (true iff pure ASCII) so a
+      // non-ASCII document landing in the corpus drops the pair on
+      // BOTH sides instead of silently diverging the distance.
       val docs = s.read.parquet(p(dir, "documents"))
+        .filter(octet_length(col("text")) === length(col("text")))
       val ids = docs.select(col("doc_id"))
       val pairs = ids
         .filter(pmod(col("doc_id"), lit(3)) === 0)
@@ -1363,9 +1380,17 @@ object SparkEntry {
 
     // ---------------- pipeline / kernel (rows-only checks) ----------------
     "x01_extract_spans" -> ((s, dir) => {
+      // the flagship extraction, graded against GENERATOR ground truth
+      // (round-4 verdict item 2): Verify dumps gen.Corpus.truthSpans
+      // beside the query results, and the oracle reads that dump — so
+      // the all-three-green row IS the north rule's span-sequence
+      // equality (kind, text, media_ref, order) on the driver's
+      // corpus. Confidence is engine-internal (not part of the
+      // north-rule tuple) and stays covered by PipelineSpec/x02.
       val docs = Corpus.documents(s, dir).toDF()
       val media = Corpus.media(s, dir).toDF()
       ExtractJob.extractSpans(s, docs, media)
+        .select(col("doc_id"), col("kind"), col("text"), col("media_ref"), col("offset"))
         .orderBy(col("doc_id"), col("offset"))
     }),
 
@@ -1434,28 +1459,7 @@ object SparkEntry {
       // same rule cost 6 shuffles and ~12 s of plan/codegen for a
       // per-row decision.
       val sumUdf = udf { (t: String) => graft.text.Summarizer.summarize(t, 0.3) }
-      val eligUdf = udf { (sents: Seq[String]) =>
-        val stop = graft.text.Stopwords.set
-        val toks = sents.map(_.toLowerCase(java.util.Locale.ROOT)
-          .split("\\W+").filter(_.nonEmpty))
-        val freq = scala.collection.mutable.HashMap.empty[String, Long]
-        toks.foreach(_.foreach(w =>
-          if (!stop.contains(w)) freq.update(w, freq.getOrElse(w, 0L) + 1L)))
-        val n = sents.length
-        val scores = toks.zipWithIndex.map { case (ws, i) =>
-          val sum = ws.foldLeft(0L)((a, w) => a + freq.getOrElse(w, 0L))
-          val base = if (ws.isEmpty) 0.0 else sum.toDouble / ws.length
-          if (i < n * 0.2 || i > n * 0.8) base * 1.25 else base
-        }.sorted
-        var minGap = Double.MaxValue
-        var i = 1
-        while (i < scores.length) {
-          val g = scores(i) - scores(i - 1)
-          if (g < minGap) minGap = g
-          i += 1
-        }
-        scores.length >= 2 && minGap > 1e-9
-      }
+      val eligUdf = tieEligUdf
       val sentsArr = transform(
         sequence(lit(0), floor((size(col("toks")) - 1) / lit(8)).cast("int")),
         i => array_join(slice(col("toks"), i * 8 + 1, lit(8)), " "))
@@ -1503,6 +1507,11 @@ object SparkEntry {
     }),
 
     "x11_mm_image_features" -> ((s, dir) => {
+      // decode+feature vs ENCODE-side truth (converted from rows-only,
+      // round-4 verdict item 4): geometry recomputed from the layout
+      // math (not the header the decoder parses), mean intensity
+      // averaged over the rendered bytes — dumped by Verify as
+      // media_truth, read by the oracle
       Multimodal.imageFeatureTable(s, Corpus.media(s, dir).toDF()).toDF()
         .select(col("media_ref"), col("width"), col("height"),
           round(col("mean_intensity"), 2).as("mean_intensity"))
@@ -1585,20 +1594,29 @@ object SparkEntry {
       // double-space-joined with pad spaces so the cleanup is
       // observable, not an identity.
       val docs = s.read.parquet(p(dir, "documents"))
-      val toks = filter(split(col("text"), "\\W+"), t => t =!= "")
+      // lambda-free fixture builder (the chunks10 pattern): native
+      // case-preserving tokens, chunk built row-wise after an index
+      // explode, and the span structs collected in FINAL field order
+      // with a separate numeric sort key (array_sort(keys) is a
+      // native ordering; the former transform-over-collect rebuilt
+      // every struct through an interpreted lambda)
+      val toksN = graft.functions.GraftFunctions.tokenizeRaw(col("text"))
       val chunks = docs
-        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), toksN.as("toks"))
         .filter(size(col("toks")) > 0)
-        .select(col("doc_id"), posexplode(transform(
-          sequence(lit(0), floor((size(col("toks")) - 1) / lit(10)).cast("int")),
-          i => concat(lit(" "),
-            array_join(slice(col("toks"), i * 10 + 1, lit(10)), "  "), lit(" ")))))
-        .withColumnRenamed("pos", "offset").withColumnRenamed("col", "raw")
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            floor((size(col("toks")) - 1) / lit(10)).cast("int"))).as("offset"),
+          col("toks"))
+        .select(col("doc_id"), col("offset"),
+          concat(lit(" "),
+            array_join(slice(col("toks"), col("offset") * 10 + 1, lit(10)), "  "),
+            lit(" ")).as("raw"))
       val spanDocs = chunks.groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("offset"), col("raw")))).as("sp"))
-        .select(col("doc_id"), transform(col("sp"), x => struct(
-          lit("text").as("kind"), x("raw").as("text"),
-          lit("").as("media_ref"), x("offset").as("offset"))).as("spans"))
+        .agg(sort_array(collect_list(struct(col("offset"),
+          struct(lit("text").as("kind"), col("raw").as("text"),
+            lit("").as("media_ref"), col("offset").as("offset")).as("s")))).as("sp"))
+        .select(col("doc_id"), col("sp.s").as("spans"))
       val emptyMedia = s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -1850,7 +1868,12 @@ object SparkEntry {
 
     "x16_pdf_extract" -> ((s, dir) => {
       // S4/S5/S6 — multi-page pdf-analog containers through the full
-      // pipeline (rows-only: page text is OCR output)
+      // pipeline. Converted from rows-only (round-4 verdict item 4):
+      // the page texts are literal ("page P of doc I", identity under
+      // groundTruth — all-lowercase renderable short strings), so the
+      // expected multi-page "\n\n" concat is PURE SQL over range();
+      // the oracle recomputes it without touching the engine.
+      // Confidence is engine-internal — covered by MultimodalSpec.
       import s.implicits._
       val media = s.range(8).map { i =>
         (f"pdf-$i%04d", Multimodal.synthPdf(
@@ -1860,8 +1883,7 @@ object SparkEntry {
       val docs = s.range(8).map(i => graft.gen.InDoc(f"pd-$i%04d",
         Seq(graft.gen.InSpan("media", "", f"pdf-$i%04d", 0)))).toDF()
       ExtractJob.run(s, docs, media)
-        .select(col("doc_id"), col("text"),
-          round(col("confidence"), 4).as("confidence"), col("media_count"))
+        .select(col("doc_id"), col("text"), col("media_count"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1880,11 +1902,32 @@ object SparkEntry {
     }),
 
     "x14_scope_page_summary_ocr" -> ((s, dir) => {
-      // the OCR-content variant (rows-only): full pipeline -> page scope
+      // the OCR-content composition, CONVERTED from rows-only (round-4
+      // verdict item 4): full pipeline -> page scope -> kernel
+      // summarizer per span, graded against the q17 SQL chain run over
+      // the GENERATOR's truth spans (the x07 pattern, keyed by
+      // (doc_id, page)). Works because every span text's sentence
+      // boundaries are ". " constructions (media: mediaTextFor's
+      // seeded sentences through groundTruth; text: source sentences
+      // joined " ") — the kernel's lookbehind split and the SQL's
+      // consuming split see the same sentences modulo the kept
+      // trailing dot, normalized away on both sides. Same x07 guards:
+      // >= 100 chars, > 3 sentences (so the kernel genuinely
+      // summarizes) and the near-tie eligibility cut on both engines.
       val docs = Corpus.documents(s, dir).toDF()
       val media = Corpus.media(s, dir).toDF()
-      graft.pipe.Scope.pageScope(ExtractJob.run(s, docs, media))
-        .orderBy(col("doc_id"), col("page"))
+      val pages = graft.pipe.Scope.pageScope(ExtractJob.run(s, docs, media))
+      pages
+        .withColumn("__sents",
+          graft.functions.GraftFunctions.sentencesSql(col("scope_text")))
+        .filter(size(col("__sents")) > 3 && length(col("scope_text")) >= 100)
+        .filter(tieEligUdf(col("__sents")))
+        .select(col("doc_id"), col("page"), col("scope_text"),
+          trim(regexp_replace(regexp_replace(col("summary"), "[.!?]", ""),
+            "\\s+", " ")).as("summary"))
+      // no trailing orderBy (the x07 note: a global sort range-samples
+      // its child and would run the kernel-summarizer chain twice);
+      // the driver's compare sorts by all columns itself
     })
   )
 
@@ -1903,14 +1946,21 @@ object SparkEntry {
     "merge sort", "slow query", "window", "foo bar")
 
   private def chunks10(docs: DataFrame): DataFrame = {
-    val toks = filter(split(col("text"), "\\W+"), t => t =!= "")
+    // lambda-free chunker (round-4 verdict item 6's last holdout):
+    // native case-preserving tokenizer, then explode the chunk INDEX
+    // and build each chunk row-wise — slice/array_join outside any
+    // lambda stay in whole-stage codegen (the former
+    // transform(sequence(...)) built every chunk interpreted)
+    val toks = graft.functions.GraftFunctions.tokenizeRaw(col("text"))
     docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), floor((size(col("toks")) - 1) / lit(10)).cast("int")),
-        i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " "))))
-      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) - 1) / lit(10)).cast("int"))).as("idx"),
+        col("toks"))
+      .select(col("doc_id"), col("idx"),
+        array_join(slice(col("toks"), col("idx") * 10 + 1, lit(10)), " ").as("chunk"))
   }
 
   /** Synthetic video/audio containers with CLOSED-FORM parameters
@@ -2065,11 +2115,11 @@ object SparkEntry {
     val docs = s.read.parquet(p(dir, "documents")).select(col("doc_id"), col("text"))
     val sents = docs
       .select(col("doc_id"), posexplode(
-        filter(transform(split(col("text"), "[.!?]\\s+"), t => trim(t)), t => t =!= "")))
+        graft.functions.GraftFunctions.sentencesSql(col("text"))))
       .withColumnRenamed("pos", "idx").withColumnRenamed("col", "sentence")
     val n = sents.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sent"))
     val toks = sents.select(col("doc_id"), col("idx"),
-      explode(filter(split(lower(col("sentence")), "\\W+"), t => t =!= "")).as("word"))
+      explode(graft.functions.GraftFunctions.tokenizeWords(col("sentence"))).as("word"))
     val stop = graft.text.Stopwords.set.toSeq
     val freq = toks.filter(!col("word").isin(stop.map(lit): _*))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("f"))
@@ -2089,8 +2139,9 @@ object SparkEntry {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .groupBy(col("doc_id"))
-      .agg(array_join(transform(sort_array(collect_list(struct(col("idx"), col("sentence")))),
-        x => x("sentence")), " ").as("summary"))
+      .agg(array_join(
+        sort_array(collect_list(struct(col("idx"), col("sentence"))))
+          .getField("sentence"), " ").as("summary"))
       .orderBy(col("doc_id"))
   }
 
@@ -2587,6 +2638,49 @@ object SparkEntry {
     // over the synthesized multi-sentence texts, punct-normalized;
     // this oracle rebuilds the same texts and runs the q17 SQL chain
     // identically normalized — kernel==SQL selection equality.
+    // the flagship span-equality check (north rule: kind, text,
+    // media_ref, order): the oracle IS the generator's golden span
+    // table, dumped by Verify from gen.Corpus.truthSpans — engine
+    // output on the left, generator truth on the right, hash-equal or
+    // the round fails. Confidence (engine-internal) is not in the
+    // north-rule tuple and not in the projection.
+    "x01_extract_spans" ->
+      """SELECT doc_id, kind, text, media_ref, "offset"
+        |FROM '__VERIFY_OUT__/truth_spans/*.parquet'
+        |ORDER BY doc_id, "offset"""".stripMargin,
+
+    // decode+feature vs encode-side truth (media_truth dump): layout
+    // geometry + byte-mean intensity with the query's exact rounding
+    "x11_mm_image_features" ->
+      """SELECT media_ref, width, height, mean_intensity
+        |FROM '__VERIFY_OUT__/media_truth/*.parquet'
+        |ORDER BY media_ref""".stripMargin,
+
+    // multi-page pdf concat: page texts are literal and identity under
+    // groundTruth (lowercase renderable, shorter than the wrap width),
+    // so the expected "\n\n" join is pure SQL over range()
+    "x16_pdf_extract" ->
+      """SELECT printf('pd-%04d', i) AS doc_id,
+        |  string_agg('page ' || p::VARCHAR || ' of doc ' || i::VARCHAR,
+        |             chr(10) || chr(10) ORDER BY p) AS text,
+        |  1::INTEGER AS media_count
+        |FROM generate_series(0, 7) AS g(i)
+        |JOIN generate_series(0, 3) AS t(p) ON p <= i % 3 + 1
+        |GROUP BY i
+        |ORDER BY doc_id""".stripMargin,
+
+    // S10 health: every field is a pinned deterministic capability
+    // (engine probe decodes the smoke page in every language, pdf path
+    // page-counts a synthed container, manifest counters over the
+    // fixed 8-doc/4-bucket committed run — the x28/x31 "oracle the
+    // guarantee as constants" pattern). A broken engine/pdf/manifest
+    // path flips status/counters and the hash mismatches.
+    "x21_health" ->
+      """SELECT 'success' AS status, 'OCR engine is healthy' AS message,
+        |  'graft-glyph-matrix/40' AS engine_version,
+        |  'eng,ind' AS languages, true AS pdf_ok,
+        |  4::BIGINT AS committed_buckets, 8::BIGINT AS committed_docs""".stripMargin,
+
     "x07_summarize_kernel" ->
       s"""WITH tk AS (
          |  SELECT doc_id, list_filter(string_split_regex(text, '\\W+'), x -> x <> '') AS toks
@@ -2611,6 +2705,37 @@ object SparkEntry {
          |FROM ranked JOIN elig USING (doc_id)
          |WHERE rn <= greatest(1, floor(n_sent * 0.3)::INT)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the OCR-content composition vs GENERATOR truth: the q17 SQL
+    // summarize chain over truth_spans (span text == pipeline OCR
+    // output, independently asserted by x01), keyed per (doc, page)
+    // through a composite key; same guards + near-tie eligibility as
+    // x07 on both engines
+    "x14_scope_page_summary_ocr" ->
+      s"""WITH ts AS (
+         |  SELECT doc_id AS did, "offset" AS page, text
+         |  FROM '__VERIFY_OUT__/truth_spans/*.parquet'),
+         |synth AS (
+         |  SELECT did || '#' || page::VARCHAR AS doc_id, text
+         |  FROM ts WHERE length(text) >= 100),
+         |${duckSummarizerCtes("synth")},
+         |gaps AS (
+         |  SELECT doc_id, score - lag(score) OVER (PARTITION BY doc_id ORDER BY score) AS gap
+         |  FROM scored),
+         |elig AS (SELECT doc_id FROM gaps GROUP BY 1 HAVING min(gap) > 1e-9),
+         |n4 AS (SELECT doc_id FROM n WHERE n_sent > 3)
+         |SELECT split_part(r.doc_id, '#', 1) AS doc_id,
+         |  split_part(r.doc_id, '#', 2)::INTEGER AS page,
+         |  s2.text AS scope_text,
+         |  trim(regexp_replace(regexp_replace(
+         |    string_agg(sentence, ' ' ORDER BY idx),
+         |    '[.!?]', '', 'g'), '\\s+', ' ', 'g')) AS summary
+         |FROM ranked r
+         |JOIN elig USING (doc_id) JOIN n4 USING (doc_id)
+         |JOIN synth s2 ON s2.doc_id = r.doc_id
+         |WHERE rn <= greatest(1, floor(n_sent * 0.3)::INT)
+         |GROUP BY r.doc_id, s2.text
+         |ORDER BY doc_id, page""".stripMargin,
 
     "x12_scope_column_summary" ->
       """WITH t AS (
@@ -3971,9 +4096,14 @@ object SparkEntry {
     // Levenshtein distance and applies the same length-gate/threshold
     // rule (dist = -1 when provably > 120), so the banded Spark kernel
     // is checked against the unbanded ground truth; sim only for
-    // scored pairs, greatest(len, 1) guards the empty-vs-empty pair
+    // scored pairs, greatest(len, 1) guards the empty-vs-empty pair.
+    // strlen(bytes) = length(chars) gates both engines to byte-pure
+    // ASCII pairs (DuckDB levenshtein is byte-based, Spark's is
+    // codepoint-based — they agree only on ASCII; the Spark side
+    // applies the identical octet_length == length filter)
     "q105_edit_verify" ->
-      """WITH t AS (SELECT doc_id, text FROM documents),
+      """WITH t AS (SELECT doc_id, text FROM documents
+        |           WHERE strlen(text) = length(text)),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
         |  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
@@ -4329,6 +4459,39 @@ object SparkEntry {
   /** The q17 summarizer CTE chain (sents -> renum -> n -> toks -> freq
     * -> senttok -> scored -> ranked), shared by the q17 and x07
     * oracles; `src` is the (doc_id, text) source relation. */
+  /** Near-tie eligibility for kernel==SQL summarizer comparisons
+    * (x07/x14): true iff the doc's sentence scores, computed with the
+    * q17 SQL-parity arithmetic (exact integer frequency sums, one
+    * division, one multiply — order-free IEEE, JVM == DuckDB
+    * bit-for-bit), have pairwise gaps > 1e-9. Genuinely distinct
+    * scores on these corpora differ by >= ~1/(4*q*q') for token
+    * counts q,q' — orders of magnitude above the cut — while an exact
+    * rational tie can differ ~1 ulp between the kernel's term-by-term
+    * accumulation and the SQL's integer sum and flip the tie-break.
+    */
+  private def tieEligUdf = udf { (sents: Seq[String]) =>
+    val stop = graft.text.Stopwords.set
+    val toks = sents.map(_.toLowerCase(java.util.Locale.ROOT)
+      .split("\\W+").filter(_.nonEmpty))
+    val freq = scala.collection.mutable.HashMap.empty[String, Long]
+    toks.foreach(_.foreach(w =>
+      if (!stop.contains(w)) freq.update(w, freq.getOrElse(w, 0L) + 1L)))
+    val n = sents.length
+    val scores = toks.zipWithIndex.map { case (ws, i) =>
+      val sum = ws.foldLeft(0L)((a, w) => a + freq.getOrElse(w, 0L))
+      val base = if (ws.isEmpty) 0.0 else sum.toDouble / ws.length
+      if (i < n * 0.2 || i > n * 0.8) base * 1.25 else base
+    }.sorted
+    var minGap = Double.MaxValue
+    var i = 1
+    while (i < scores.length) {
+      val g = scores(i) - scores(i - 1)
+      if (g < minGap) minGap = g
+      i += 1
+    }
+    scores.length >= 2 && minGap > 1e-9
+  }
+
   private def duckSummarizerCtes(src: String): String =
     s"""sents AS (
        |  SELECT doc_id, s.idx - 1 AS idx, trim(s.sentence) AS sentence FROM $src,

@@ -28,6 +28,18 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Generator ground-truth side tables (NOT queries — the driver
+    // only grades `queries` keys): the x01/x11 oracles read these via
+    // __VERIFY_OUT__ and assert the pipeline's output against the
+    // generator's golden spans / encode-side raster statistics.
+    try {
+      graft.gen.Corpus.truthSpans(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/truth_spans")
+      graft.gen.Corpus.mediaTruth(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/media_truth")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] truth dump failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

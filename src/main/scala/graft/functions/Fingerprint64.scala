@@ -102,6 +102,26 @@ object GraftFunctions {
     org.apache.spark.sql.GraftBridge.toColumn(
       TokenizeWords(org.apache.spark.sql.GraftBridge.toExpression(c)))
 
+  def countInSet(arr: Column, items: Seq[String]): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      CountInSet(org.apache.spark.sql.GraftBridge.toExpression(arr), items))
+
+  def sentencesSql(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      SentenceSplitSql(org.apache.spark.sql.GraftBridge.toExpression(c)))
+
+  def tokenXxhash64(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      TokenXxhash64(org.apache.spark.sql.GraftBridge.toExpression(c)))
+
+  def tokenizeRaw(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      TokenizeWords(org.apache.spark.sql.GraftBridge.toExpression(c), lower = false))
+
+  def ngramJoin(toks: Column, n: Int, sep: String = " "): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      NgramJoin(org.apache.spark.sql.GraftBridge.toExpression(toks), n, sep))
+
   def nfcNormalize(c: Column): Column =
     org.apache.spark.sql.GraftBridge.toColumn(
       NfcNormalize(org.apache.spark.sql.GraftBridge.toExpression(c)))
@@ -175,6 +195,9 @@ object GraftFunctions {
       "graft_sig_agreement", exprs => SigAgreement(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tokenize", exprs => TokenizeWords(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngrams",
+      exprs => NgramJoin(exprs(0), litInt(exprs(1), "gram width")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcNormalize(exprs.head), "scala_udf")
   }

@@ -18,8 +18,16 @@ import org.apache.spark.unsafe.types.UTF8String
 object TokenizeKernel {
   private val SPLIT = java.util.regex.Pattern.compile("\\W+")
 
-  def eval(text: UTF8String): ArrayData = {
-    val raw = SPLIT.split(text.toLowerCase.toString)
+  def eval(text: UTF8String): ArrayData = evalImpl(text.toLowerCase.toString)
+
+  /** Case-preserving variant: `filter(split(text, "\\W+"), _ != "")`
+    * with NO lowercase — the chunk/paragraph builders' tokenizer
+    * (their DuckDB oracles tokenize case-preserving).
+    */
+  def evalRaw(text: UTF8String): ArrayData = evalImpl(text.toString)
+
+  private def evalImpl(s: String): ArrayData = {
+    val raw = SPLIT.split(s)
     var n = 0
     var i = 0
     while (i < raw.length) { if (raw(i).nonEmpty) n += 1; i += 1 }
@@ -35,11 +43,13 @@ object TokenizeKernel {
 }
 
 /** `graft_tokenize(text)` — lowercase word tokens of a document as a
-  * native array expression. Law-checked against the declarative twin
-  * (FunctionsSpec); used by every [[graft.ops.TextAnalysis]] operator
-  * that tokenizes.
+  * native array expression (`lower = false` keeps the original case —
+  * the chunk-builder tokenizer). Law-checked against the declarative
+  * twin (FunctionsSpec); used by every [[graft.ops.TextAnalysis]]
+  * operator that tokenizes.
   */
-case class TokenizeWords(child: Expression) extends UnaryExpression {
+case class TokenizeWords(child: Expression, lower: Boolean = true)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -50,11 +60,14 @@ case class TokenizeWords(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    TokenizeKernel.eval(input.asInstanceOf[UTF8String])
+    if (lower) TokenizeKernel.eval(input.asInstanceOf[UTF8String])
+    else TokenizeKernel.evalRaw(input.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (lower) "eval" else "evalRaw"
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.TokenizeKernel.eval($c);")
+      s"${ev.value} = graft.functions.TokenizeKernel.$m($c);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): TokenizeWords =
     copy(child = newChild)

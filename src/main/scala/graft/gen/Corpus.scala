@@ -150,6 +150,59 @@ object Corpus {
       }
     }
 
+  /** The generator's golden span table for the whole corpus —
+    * [[expectedSpans]] over every document, as a DataFrame in the
+    * north-rule tuple order (doc_id, kind, text, media_ref, offset).
+    * Verify dumps this beside the query results so the x01 DuckDB
+    * oracle can assert span-sequence equality of the PIPELINE's
+    * extraction against generator ground truth (round-4 verdict item
+    * 2): truth text comes from [[mediaTextFor]]/[[SynthRaster.groundTruth]]
+    * (never from the engine), cleanup/confidence from the pinned rules.
+    */
+  def truthSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+    val m = mediaCountHint(spark, sfDir)
+    src.as[(Long, String)].flatMap { case (id, text) =>
+      expectedSpans(id, Option(text).getOrElse(""), m).map { case (k, t, r, o, _) =>
+        (f"doc-$id%08d", k, t, r, o)
+      }
+    }.toDF("doc_id", "kind", "text", "media_ref", "offset")
+  }
+
+  /** Generator-side truth for the image-feature decode (x11's oracle):
+    * geometry from the LAYOUT math (wrap/rows — independent of the
+    * header encode the decoder parses) and mean intensity averaged
+    * DIRECTLY over the rendered bytes (encode-side statistic the
+    * decode+feature path must reproduce), rounded like the query.
+    */
+  def mediaTruth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val m = mediaCountHint(spark, sfDir)
+    spark.range(m).map { i =>
+      val text = mediaTextFor(i.toInt)
+      val ref = mediaRefFor(i.toInt)
+      val lines = SynthRaster.wrap(SynthRaster.normalize(text))
+      val rows = math.max(1, lines.length)
+      val w = 2 * SynthRaster.MARGIN + SynthRaster.COLS * SynthRaster.CELL_W
+      val h = 2 * SynthRaster.MARGIN + rows * SynthRaster.CELL_H
+      val bytes = SynthRaster.render(text, Det.hashString(ref))
+      // pixels start after the 8-byte header; mean over unsigned
+      // values, then EXACTLY the query's rounding chain: the feature
+      // op rounds to 4 dp (math.round), the x11 projection rounds to
+      // 2 dp (Spark round = HALF_UP) — double-rounding replicated so
+      // a boundary value cannot diverge
+      var s = 0.0
+      var j = 8
+      while (j < bytes.length) { s += (bytes(j) & 0xff); j += 1 }
+      val mean4 = math.round(s / (bytes.length - 8) * 10000) / 10000.0
+      val mean2 = java.math.BigDecimal.valueOf(mean4)
+        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+      (ref, w, h, mean2)
+    }.toDF("media_ref", "width", "height", "mean_intensity")
+  }
+
   /** Write the corpus under workDir (parquet; Iceberg-layout stand-in). */
   def writeCorpus(spark: SparkSession, sfDir: String, workDir: String): (String, String) = {
     val docsPath = s"$workDir/documents"

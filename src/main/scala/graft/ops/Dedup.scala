@@ -43,13 +43,17 @@ object Dedup {
       .groupBy(col("h"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
 
-  /** Word n-gram shingles of a document, lowercase, distinct. */
+  /** Word n-gram shingles of a document, lowercase, distinct.
+    * Gram windows are the native codegen [[graft.functions.NgramJoin]]
+    * kernel (the interpreted `transform(sequence(...))` twin is
+    * law-checked in FunctionsSpec); the degenerate short-doc branch
+    * (fewer than n tokens -> ONE whole-doc shingle, dedup recall for
+    * short docs) stays declarative.
+    */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = graft.functions.GraftFunctions.tokenizeWords(text)
     array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      when(size(toks) >= n, graft.functions.GraftFunctions.ngramJoin(toks, n))
         .otherwise(array(array_join(toks, " "))))
   }
 
@@ -216,8 +220,7 @@ object Dedup {
     */
   def simhash(text: Column): Column =
     graft.functions.GraftFunctions.simhash64(
-      transform(graft.functions.GraftFunctions.tokenizeWords(text),
-        t => xxhash64(t)))
+      graft.functions.GraftFunctions.tokenXxhash64(text))
 
   private val BIT_MASKS: Column =
     array((0 until 64).map(i => lit(1L << i)): _*)
@@ -377,6 +380,15 @@ object Dedup {
     * are measured exactly. Emits the distance (−1 = provably above
     * `maxDist`), the normalized similarity 1 − d/max(len) for scored
     * pairs, and the `within` verdict.
+    *
+    * Pairs-driven contract (like [[ngramJaccard]]): the two text
+    * fetches are INNER joins, so a pair whose `id_a` or `id_b` is
+    * absent from `docs` is DROPPED from the verdict set (it does not
+    * appear as "not a dup"), and a duplicated id in `docs` fans the
+    * pair out once per match. Callers needing every input pair
+    * accounted for must pre-resolve ids (the q105 driver left-semi
+    * filters candidate ids against `docs` first) or diff the output
+    * pair set against the input.
     *
     * Scale shape: pairs-driven like [[ngramJaccard]] — never a corpus
     * self-join; two hash joins fetch the texts. Per-pair cost is
@@ -680,13 +692,15 @@ object Dedup {
     val toks = graft.functions.GraftFunctions.tokenizeWords(col(textCol))
     val base = docs.select(col(idCol), toks.as("__toks"))
       .withColumn("__n", size(col("__toks")))
-    val gramHs = when(col("__n") >= k,
-      transform(sequence(lit(0), col("__n") - k),
-        i => md5(array_join(slice(col("__toks"), i + 1, lit(k)), " "))))
-      .otherwise(array().cast("array<string>"))
+    // native gram kernel (short docs -> empty array inside the
+    // kernel), md5 applied ROW-WISE after the posexplode so the hash
+    // stays in whole-stage codegen instead of an interpreted
+    // per-element lambda
     val g = base
-      .select(col(idCol), (col("__n") - k + 1).as("__ng"), posexplode(gramHs))
-      .toDF(idCol, "__ng", "__gpos", "__h")
+      .select(col(idCol), (col("__n") - k + 1).as("__ng"),
+        posexplode(graft.functions.GraftFunctions.ngramJoin(col("__toks"), k)))
+      .toDF(idCol, "__ng", "__gpos", "__gram")
+      .select(col(idCol), col("__ng"), col("__gpos"), md5(col("__gram")).as("__h"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("__gpos"))
       .rowsBetween(-(w - 1), 0)
     g.withColumn("__m", min(col("__h")).over(win))

@@ -65,14 +65,15 @@ object ExactSubstr {
       .toDF("id", "pos", "tok")
 
     // k-gram occurrences as (16-byte hash, id, pos); docs shorter than
-    // k contribute none (nothing to share at window length k)
-    val gramHashes = when(col("__n") >= k,
-      transform(sequence(lit(0), col("__n") - k),
-        i => unhex(md5(array_join(slice(col("__toks"), i + 1, lit(k)), " ")))))
-      .otherwise(array().cast("array<binary>"))
+    // k contribute none (nothing to share at window length k — the
+    // native gram kernel returns an empty array below k tokens). The
+    // md5+unhex runs ROW-WISE after the posexplode: whole-stage
+    // codegen, no interpreted per-element lambda.
     val occ = base
-      .select(col("id"), posexplode(gramHashes))
-      .toDF("id", "pos", "__h")
+      .select(col("id"),
+        posexplode(graft.functions.GraftFunctions.ngramJoin(col("__toks"), k)))
+      .toDF("id", "pos", "__gram")
+      .select(col("id"), col("pos"), unhex(md5(col("__gram"))).as("__h"))
 
     // keeper + multiplicity per gram: aggregate, not window (map-side
     // combine absorbs boilerplate grams); only duplicated grams survive
@@ -101,16 +102,19 @@ object ExactSubstr {
       .withColumn("__covered",
         col("__lastDup").isNotNull && (col("pos") - col("__lastDup")) < k)
 
-    // per-doc assembly; the sort-collect is bounded by doc length
+    // per-doc assembly; the sort-collect is bounded by doc length.
+    // sort_array (native ordering) + GetArrayStructFields (`.tok` on
+    // the array of structs) instead of array_sort + transform: the
+    // latter pair evaluates an interpreted comparator/extractor lambda
+    // per element (collect_list drops nulls, so the null-ordering
+    // difference between the two sorts cannot surface)
     val perDoc = marked.groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_tokens"),
         sum(when(col("__covered"), 1L).otherwise(0L)).as("n_removed"),
         array_join(
-          transform(
-            array_sort(collect_list(when(!col("__covered"),
-              struct(col("pos"), col("tok"))))),
-            s => s("tok")),
+          sort_array(collect_list(when(!col("__covered"),
+            struct(col("pos"), col("tok"))))).getField("tok"),
           " ").as("kept_text"))
 
     docs.select(col(idCol).as("id"))

@@ -32,9 +32,19 @@ object TextAnalysis {
     * and before each non-alphanumeric (the literal regex below — a
     * digit->letter transition does NOT split: "x86to64" counts as
     * x|86to|64), plus length/4 long-word pieces — a deterministic
-    * stand-in for a real tokenizer's token count.
+    * stand-in for a real tokenizer's token count. Native codegen
+    * kernel ([[graft.functions.TokenCountBpe]]); the declarative twin
+    * [[tokenCountBpeHof]] stays law-checked in FunctionsSpec.
     */
   def tokenCountBpe(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      graft.functions.TokenCountBpe(
+        org.apache.spark.sql.GraftBridge.toExpression(text)))
+
+  /** Interpreted declarative twin of [[tokenCountBpe]] — per-row HOF
+    * `aggregate`, law-check reference only (never on a shipped path).
+    */
+  def tokenCountBpeHof(text: Column): Column =
     size(filter(split(text, "(?=[0-9])(?<=[^0-9])|(?=[^0-9a-zA-Z])|\\s+"), t => t =!= "")) +
       aggregate(toks(text), lit(0),
         (acc, t) => acc + (length(t) / 4).cast("int"))
@@ -46,7 +56,7 @@ object TextAnalysis {
   val idMarkers = Seq("yang", "dan", "di", "ini", "itu", "dari", "dalam", "tidak", "dengan", "untuk")
 
   def markerHits(text: Column, markers: Seq[String]): Column =
-    size(filter(toks(text), t => t.isin(markers.map(lit): _*)))
+    graft.functions.GraftFunctions.countInSet(toks(text), markers)
 
   def predictedLang(text: Column): Column = {
     val en = markerHits(text, enMarkers)
@@ -312,18 +322,23 @@ object TextAnalysis {
                      textCol: String = "text",
                      groupCol: String = "source"): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be >= 1")
-    val gramType = "array<struct<n:int,gram:string>>"
-    val perN = ns.distinct.sorted.map { n =>
-      when(size(col("__toks")) >= n,
-        transform(sequence(lit(0), size(col("__toks")) - n),
-          i => struct(lit(n).as("n"),
-            array_join(slice(col("__toks"), i + 1, lit(n)), " ").as("gram"))))
-        .otherwise(array().cast(gramType))
-    }
+    // one scan for all n: an array of native per-n gram arrays (the
+    // codegen NgramJoin kernel — short docs yield empty arrays inside
+    // the kernel), posexplode recovers WHICH n each array carries via
+    // its position, then a second explode flattens the grams. Two
+    // generators, zero interpreted lambdas (the former
+    // transform(sequence(...), struct(...)) walked an expression tree
+    // per gram per row).
+    val nsSorted = ns.distinct.sorted
     docs
       .withColumn("__toks", graft.functions.GraftFunctions.tokenizeWords(col(textCol)))
-      .select(col(groupCol), explode(flatten(array(perN: _*))).as("g"))
-      .select(col(groupCol), col("g.n").as("n"), col("g.gram").as("gram"))
+      .select(col(groupCol),
+        posexplode(array(nsSorted.map(n =>
+          graft.functions.GraftFunctions.ngramJoin(col("__toks"), n)): _*)))
+      .toDF(groupCol, "__pos", "__grams")
+      .select(col(groupCol),
+        element_at(typedLit(nsSorted), col("__pos") + 1).as("n"),
+        explode(col("__grams")).as("gram"))
       .groupBy(col(groupCol), col("n"))
       .agg(count(lit(1)).as("n_total"), countDistinct(col("gram")).as("n_distinct"))
       .withColumn("ratio", round(col("n_distinct").cast("double") /
@@ -333,9 +348,20 @@ object TextAnalysis {
 
   /** Rolling polynomial fingerprint (Rabin-Karp family) of the
     * normalized text — cheap locality-free doc identity; md5 variant in
-    * [[Dedup.fingerprint]] for the SQL-oracle-friendly form.
+    * [[Dedup.fingerprint]] for the SQL-oracle-friendly form. Native
+    * codegen kernel ([[graft.functions.RollingFp31]] over the
+    * normalized string's codepoints); the per-char `aggregate` twin
+    * [[rollingFingerprintHof]] stays law-checked in FunctionsSpec.
     */
   def rollingFingerprint(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      graft.functions.RollingFp31(
+        org.apache.spark.sql.GraftBridge.toExpression(Dedup.normalizedText(text))))
+
+  /** Interpreted declarative twin of [[rollingFingerprint]] — law-check
+    * reference only (never on a shipped path).
+    */
+  def rollingFingerprintHof(text: Column): Column =
     aggregate(
       split(Dedup.normalizedText(text), ""),
       lit(0L),

@@ -319,6 +319,176 @@ class FunctionsSpec extends AnyFunSuite {
     assert(z.isNullAt(0))
   }
 
+  test("RollingFp31 / TokenCountBpe natives == their interpreted aggregate twins") {
+    import spark.implicits._
+    val data = Seq(
+      "", "   ", "a", "hello world", "Hello,  World!\n\ttabs",
+      "x86to64 splits x|86to|64", "digits123 and 456mix",
+      "Ünïcödé étude ÖK", "supercalifragilisticexpialidocious word",
+      "punct...runs!!!and??? more;;; tokens", "éİ edgecase")
+    val df = data.toDF("t").select(col("t"),
+      graft.ops.TextAnalysis.rollingFingerprint(col("t")).as("fpN"),
+      graft.ops.TextAnalysis.rollingFingerprintHof(col("t")).as("fpT"),
+      graft.ops.TextAnalysis.tokenCountBpe(col("t")).as("bpeN"),
+      graft.ops.TextAnalysis.tokenCountBpeHof(col("t")).as("bpeT"))
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"rolling fp diverges for '${r.getString(0)}': ${r.getLong(1)} vs ${r.getLong(2)}")
+      assert(r.getInt(3) == r.getInt(4),
+        s"bpe count diverges for '${r.getString(0)}': ${r.getInt(3)} vs ${r.getInt(4)}")
+    }
+    // codegen participation, null propagation
+    val big = spark.range(0, 20000, 1, 4)
+      .select(concat(lit("Doc "), col("id"), lit(" has WordsAndMore123 tail")).as("t"))
+      .select(graft.ops.TextAnalysis.rollingFingerprint(col("t")).as("fp"),
+        graft.ops.TextAnalysis.tokenCountBpe(col("t")).as("n"))
+    big.collect()
+    val plan = big.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected codegen:\n$plan")
+    assert(!plan.contains("lambdafunction"), s"interpreted HOF survived:\n$plan")
+    val z = Seq("x").toDF("t").select(
+      graft.ops.TextAnalysis.rollingFingerprint(lit(null).cast("string")),
+      graft.ops.TextAnalysis.tokenCountBpe(lit(null).cast("string"))).collect()(0)
+    assert(z.isNullAt(0) && z.isNullAt(1))
+  }
+
+  test("CountInSet native == size(filter(isin)) HOF twin, counts occurrences") {
+    import spark.implicits._
+    val set = Seq("the", "and", "dan", "yang")
+    val data = Seq(
+      "", "the the the", "no hits here", "the and yang dan",
+      "THE case sensitive post-lower", "mixed the bag and tail")
+    val df = data.toDF("t").select(col("t"),
+      GraftFunctions.countInSet(
+        GraftFunctions.tokenizeWords(col("t")), set).as("native"),
+      size(filter(GraftFunctions.tokenizeWords(col("t")),
+        x => x.isin(set.map(lit): _*))).as("twin"))
+    df.collect().foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"count diverges for '${r.getString(0)}': ${r.getInt(1)} vs ${r.getInt(2)}")
+    }
+    // occurrences, not distinct membership
+    assert(df.filter(col("t") === "the the the").head().getInt(1) == 3)
+    // codegen + null propagation
+    val big = spark.range(0, 10000, 1, 4)
+      .select(concat(lit("the word "), col("id"), lit(" and more")).as("t"))
+      .select(GraftFunctions.countInSet(
+        GraftFunctions.tokenizeWords(col("t")), set).as("n"))
+    big.collect()
+    assert(big.queryExecution.executedPlan.toString.contains("*("))
+    assert(big.filter(col("n") =!= 2).count() == 0)
+    val z = Seq("x").toDF("t").select(GraftFunctions.countInSet(
+      lit(null).cast("array<string>"), set)).collect()(0)
+    assert(z.isNullAt(0))
+  }
+
+  test("SentenceSplitSql / TokenXxhash64 natives == their HOF twins") {
+    import spark.implicits._
+    val data = Seq(
+      "", "   ", "One sentence", "Two here. And two",
+      "Trail dot. ", "a. b! c? d", "spaces   after.   next",
+      "bang!and no space", "tab after.\tnext one", "nl after.\nnext",
+      "dots... ellipsis. end", "Ünïcödé étude. Encore! fin")
+    val df = data.toDF("t").select(col("t"),
+      GraftFunctions.sentencesSql(col("t")).as("sn"),
+      filter(transform(split(col("t"), "[.!?]\\s+"), x => trim(x)), x => x =!= "")
+        .as("st"),
+      GraftFunctions.tokenXxhash64(col("t")).as("hn"),
+      transform(GraftFunctions.tokenizeWords(col("t")), x => xxhash64(x)).as("ht"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"sentences diverge for '${r.getString(0)}': " +
+          s"native=${r.getSeq[String](1)} twin=${r.getSeq[String](2)}")
+      assert(r.getSeq[Long](3) == r.getSeq[Long](4),
+        s"token hashes diverge for '${r.getString(0)}'")
+    }
+    // null propagation + codegen
+    val z = Seq("x").toDF("t").select(
+      GraftFunctions.sentencesSql(lit(null).cast("string")),
+      GraftFunctions.tokenXxhash64(lit(null).cast("string"))).collect()(0)
+    assert(z.isNullAt(0) && z.isNullAt(1))
+    val big = spark.range(0, 10000, 1, 4)
+      .select(concat(lit("S one "), col("id"), lit(". S two! S three")).as("t"))
+      .select(size(GraftFunctions.sentencesSql(col("t"))).as("n"),
+        size(GraftFunctions.tokenXxhash64(col("t"))).as("m"))
+    big.collect()
+    assert(big.queryExecution.executedPlan.toString.contains("*("))
+    assert(big.filter(col("n") =!= 3 || col("m") =!= 7).count() == 0)
+  }
+
+  test("lambda-free token-count form == size(filter(split)) HOF form (q07 rewrite)") {
+    import spark.implicits._
+    val data = Seq(
+      "", "   ", "\t\n", "a", " a ", "..a..", "a..b", "one two  three",
+      "..lead", "trail..", "a.\n", "x..\n", ".\n.", "mixed,  punct!and words",
+      "Ünïcödé étude", "line1\nline2\n")
+    def hof(sep: String) = size(filter(split(col("t"), sep), x => x =!= ""))
+    def flat(sep: String) = {
+      val stripped = regexp_replace(col("t"), s"^$sep|$sep$$", "")
+      when(stripped === "", 0).otherwise(size(split(stripped, sep)))
+    }
+    val df = data.toDF("t").select(col("t"),
+      hof("\\W+").as("hw"), flat("\\W+").as("fw"),
+      hof("\\s+").as("hs"), flat("\\s+").as("fs"))
+    df.collect().foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"\\W+ count diverges for '${r.getString(0)}': ${r.getInt(1)} vs ${r.getInt(2)}")
+      assert(r.getInt(3) == r.getInt(4),
+        s"\\s+ count diverges for '${r.getString(0)}': ${r.getInt(3)} vs ${r.getInt(4)}")
+    }
+  }
+
+  test("NgramJoin native == interpreted transform(sequence, slice+array_join) twin") {
+    import spark.implicits._
+    val data = Seq(
+      "", "   ", "one", "one two", "one two three",
+      "Hello, World! hello world hello world again",
+      "a b c d e f g h i j",
+      "repeat repeat repeat repeat repeat",
+      "Ünïcödé ÖK foo bar baz — em-dash «quotes»",
+      "punct...runs!!!and??? more;;; tokens here now",
+      "MiXeD CaSe ToKeNs MiXeD CaSe ToKeNs tail")
+    for (n <- Seq(1, 2, 3, 5, 8)) {
+      val toks = GraftFunctions.tokenizeWords(col("t"))
+      val twin = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val df = data.toDF("t").select(col("t"),
+        GraftFunctions.ngramJoin(toks, n).as("native"), twin.as("twin"))
+      df.collect().foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n grams diverge for '${r.getString(0)}': " +
+            s"native=${r.getSeq[String](1)} twin=${r.getSeq[String](2)}")
+      }
+    }
+    // null array in -> null out; null ELEMENTS are skipped by the join
+    // exactly like array_join without a replacement
+    val edge = spark.sql(
+      "SELECT CAST(NULL AS ARRAY<STRING>) AS a, array('x', NULL, 'y', 'z') AS b")
+      .select(
+        GraftFunctions.ngramJoin(col("a"), 2).as("na"),
+        GraftFunctions.ngramJoin(col("b"), 2).as("nb"),
+        transform(sequence(lit(0), size(col("b")) - 2),
+          i => array_join(slice(col("b"), i + 1, lit(2)), " ")).as("tb"))
+      .collect()(0)
+    assert(edge.isNullAt(0))
+    assert(edge.getSeq[String](1) == edge.getSeq[String](2))
+    // codegen participation + SQL registration
+    GraftFunctions.register(spark)
+    val big = spark.range(0, 20000, 1, 4)
+      .select(concat(lit("doc "), col("id"), lit(" has words and tail")).as("t"))
+      .select(size(GraftFunctions.ngramJoin(
+        GraftFunctions.tokenizeWords(col("t")), 3)).as("n"))
+    big.collect()
+    assert(big.queryExecution.executedPlan.toString.contains("*("))
+    assert(big.filter(col("n") =!= 4).count() == 0)
+    val viaSql = spark.sql(
+      "SELECT graft_ngrams(graft_tokenize('one two three four'), 2) AS g")
+      .collect()(0).getSeq[String](0)
+    assert(viaSql == Seq("one two", "two three", "three four"))
+  }
+
   test("ShingleHashes native == declarative shingleHashes(shingles(text)) twin") {
     import spark.implicits._
     val data = Seq(
