@@ -1634,24 +1634,34 @@ object SparkEntry {
       // each language decode EXACTLY under the matching engine
       // (exact_match=true rows) and misread under a foreign table
       // (exact_match=false rows) — deterministic, rows-only.
+      // grid cost discipline (round-4 verdict item 5): the engine
+      // language is a per-PIPELINE config (the reference's `-l`), so
+      // the |languages|² grid needs |languages| pipeline plans — one
+      // per engineLang over ONE union'd frame carrying every pageLang
+      // as data (page_lang parsed back from doc_id) — not a pipeline
+      // per CELL. The former per-cell form planned 4 full extraction
+      // pipelines; fixed scheduling overhead, not data cost.
       import s.implicits._
       val texts = (0 until 6).map(i =>
         s"language grid sample $i with words ${i * 7} and ${i * 13}")
       val gt = texts.map(graft.codec.SynthRaster.groundTruth)
-      val cases = for (pageLang <- graft.codec.Glyphs.languages;
-                       engineLang <- graft.codec.Glyphs.languages) yield (pageLang, engineLang)
-      cases.map { case (pageLang, engineLang) =>
-        val media = s.createDataset(texts.indices.map(i =>
-          (f"lg-$i%02d", graft.codec.SynthRaster.render(
-            texts(i), seed = 500L + i, language = pageLang)))).toDF("media_ref", "bytes")
-        val docs = s.createDataset(texts.indices.map(i => graft.gen.InDoc(f"lgdoc-$i%02d",
-          Seq(graft.gen.InSpan("media", "", f"lg-$i%02d", 0))))).toDF()
-        val truth = s.createDataset(texts.indices.map(i => (f"lgdoc-$i%02d", gt(i))))
-          .toDF("doc_id", "truth")
+      val langs = graft.codec.Glyphs.languages
+      val media = s.createDataset(for (pl <- langs; i <- texts.indices) yield
+        (s"lg-$pl-$i", graft.codec.SynthRaster.render(
+          texts(i), seed = 500L + i, language = pl))).toDF("media_ref", "bytes")
+      val docs = s.createDataset(for (pl <- langs; i <- texts.indices) yield
+        graft.gen.InDoc(s"lgdoc-$pl-$i",
+          Seq(graft.gen.InSpan("media", "", s"lg-$pl-$i", 0)))).toDF()
+      val truth = s.createDataset(for (pl <- langs; i <- texts.indices) yield
+        (s"lgdoc-$pl-$i", gt(i))).toDF("doc_id", "truth")
+      langs.map { engineLang =>
         ExtractJob.extractSpans(s, docs, media,
             ExtractJob.Config(language = engineLang))
           .join(truth, Seq("doc_id"))
-          .select(lit(pageLang).as("page_lang"), lit(engineLang).as("engine_lang"),
+          .select(
+            substring_index(substring_index(col("doc_id"), "-", 2), "-", -1)
+              .as("page_lang"),
+            lit(engineLang).as("engine_lang"),
             col("doc_id"), (col("text") === col("truth")).as("exact_match"))
       }.reduce(_ unionByName _)
         .orderBy(col("page_lang"), col("engine_lang"), col("doc_id"))
