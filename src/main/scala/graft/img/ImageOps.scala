@@ -271,4 +271,237 @@ object ImageOps {
     }
     (out, nw, nh)
   }
+
+  /** 3x3 median filter (`cv2.medianBlur(img, 3)`), BORDER_REFLECT_101
+    * like the blur kernels. OPT-IN denoise stage (north_star names
+    * "median-filter denoise"; the reference code itself never calls
+    * it — SURVEY's discrepancy note — so it ships off by default to
+    * preserve span equality and is enabled via
+    * `ExtractJob.Config.preStages`).
+    */
+  def medianFilter3(px: Array[Int], w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    val win = new Array[Int](9)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var k = 0
+        var dy = -1
+        while (dy <= 1) {
+          val yy = ref101(y + dy, h)
+          var dx = -1
+          while (dx <= 1) {
+            win(k) = px(yy * w + ref101(x + dx, w))
+            k += 1
+            dx += 1
+          }
+          dy += 1
+        }
+        // partial selection sort to the middle element (5 of 9)
+        var i = 0
+        while (i <= 4) {
+          var m = i
+          var j = i + 1
+          while (j < 9) { if (win(j) < win(m)) m = j; j += 1 }
+          val t = win(i); win(i) = win(m); win(m) = t
+          i += 1
+        }
+        out(y * w + x) = win(4)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Conditional 3x3 median ("despeckle") — the denoise stage the
+    * pipeline actually ships: a pixel is replaced by its 3x3 median
+    * ONLY when no 8-neighbor is within +-64 gray levels of it (a true
+    * salt/pepper outlier). The unconditional [[medianFilter3]] erases
+    * this codec's 1-px glyph strokes outright (a stroke pixel's
+    * neighborhood is majority paper), so the classical filter is kept
+    * for real-image deployments and the conditional form guards the
+    * glyph fixtures: isolated speckles vanish, strokes (which always
+    * continue into at least one similar neighbor) are untouched.
+    */
+  def despeckle3(px: Array[Int], w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    val win = new Array[Int](9)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = px(y * w + x)
+        var similar = 0
+        var k = 0
+        var dy = -1
+        while (dy <= 1) {
+          val yy = ref101(y + dy, h)
+          var dx = -1
+          while (dx <= 1) {
+            val nv = px(yy * w + ref101(x + dx, w))
+            win(k) = nv
+            k += 1
+            if ((dx != 0 || dy != 0) && math.abs(nv - v) <= 64) similar += 1
+            dx += 1
+          }
+          dy += 1
+        }
+        out(y * w + x) =
+          if (similar > 0) v
+          else {
+            var i = 0
+            while (i <= 4) {
+              var m = i
+              var j = i + 1
+              while (j < 9) { if (win(j) < win(m)) m = j; j += 1 }
+              val t = win(i); win(i) = win(m); win(m) = t
+              i += 1
+            }
+            win(4)
+          }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Most frequent gray value — the rotation fill (a page's paper). */
+  def modalValue(px: Array[Int]): Int = {
+    val hist = new Array[Int](256)
+    var i = 0
+    while (i < px.length) { hist(px(i)) += 1; i += 1 }
+    var best = 0
+    i = 1
+    while (i < 256) { if (hist(i) > hist(best)) best = i; i += 1 }
+    best
+  }
+
+  /** Rotate about the image center by `deg` degrees (positive =
+    * counter-clockwise in image coordinates), inverse mapping,
+    * out-of-frame filled with `fill`. `bilinear = false` samples
+    * nearest-neighbor (the harsh camera/scanner model the deskew test
+    * synthesizes with); `true` interpolates (the correction path —
+    * preserves 1-px glyph strokes through the blur+threshold chain far
+    * better than a second NN pass).
+    */
+  def rotate(px: Array[Int], w: Int, h: Int, deg: Double, fill: Int,
+             bilinear: Boolean = false): Array[Int] = {
+    val rad = math.toRadians(deg)
+    val c = math.cos(rad)
+    val s = math.sin(rad)
+    val cx = (w - 1) / 2.0
+    val cy = (h - 1) / 2.0
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // inverse map: where did this output pixel come from?
+        val dx = x - cx
+        val dy = y - cy
+        val sxd = c * dx + s * dy + cx
+        val syd = -s * dx + c * dy + cy
+        val v =
+          if (!bilinear) {
+            val sx = math.rint(sxd).toInt
+            val sy = math.rint(syd).toInt
+            if (sx >= 0 && sx < w && sy >= 0 && sy < h) px(sy * w + sx) else fill
+          } else {
+            val x0 = math.floor(sxd).toInt
+            val y0 = math.floor(syd).toInt
+            if (x0 < -1 || x0 > w - 1 || y0 < -1 || y0 > h - 1) fill
+            else {
+              val fx = sxd - x0
+              val fy = syd - y0
+              @inline def at(xx: Int, yy: Int): Int =
+                if (xx >= 0 && xx < w && yy >= 0 && yy < h) px(yy * w + xx) else fill
+              math.rint(
+                at(x0, y0) * (1 - fx) * (1 - fy) + at(x0 + 1, y0) * fx * (1 - fy) +
+                  at(x0, y0 + 1) * (1 - fx) * fy + at(x0 + 1, y0 + 1) * fx * fy)
+                .toInt.max(0).min(255)
+            }
+          }
+        out(y * w + x) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Skew-angle estimate via a Hough-style vote: for each candidate
+    * angle, ink pixels (Otsu over a light blur) vote into 1-px rho
+    * bins of the line family at that angle; the angle whose vote
+    * histogram is most CONCENTRATED (sum of squared bin counts —
+    * text baselines collapse into few bins exactly when the candidate
+    * matches the page skew) wins. Coarse 0.5 deg pass over +-maxDeg,
+    * then a 0.1 deg refinement around the winner. Returns the
+    * estimated skew in degrees (rotate by -estimate to deskew).
+    */
+  def estimateSkew(px: Array[Int], w: Int, h: Int, maxDeg: Double = 8.0): Double = {
+    val bin = thresholdOtsu(gaussianBlur(px, w, h, 3))
+    // sample ink pixels (cap keeps the vote O(points * angles))
+    val xs = new Array[Int](20000)
+    val ys = new Array[Int](20000)
+    var n = 0
+    val total = w * h
+    val stride = math.max(1, total / 60000)
+    var i = 0
+    while (i < total && n < xs.length) {
+      if (bin(i) == 0) { xs(n) = i % w; ys(n) = i / w; n += 1 }
+      i += stride
+    }
+    if (n < 32) return 0.0 // blank page: nothing to align
+    val diag = math.sqrt(w.toDouble * w + h.toDouble * h).toInt + 2
+    val hist = new Array[Int](2 * diag)
+    def score(deg: Double): Double = {
+      java.util.Arrays.fill(hist, 0)
+      val rad = math.toRadians(deg)
+      val c = math.cos(rad)
+      val s = math.sin(rad)
+      var j = 0
+      while (j < n) {
+        // rho of the horizontal-line family at this angle
+        val rho = math.rint(-s * xs(j) + c * ys(j)).toInt + diag
+        hist(rho) += 1
+        j += 1
+      }
+      var sc = 0.0
+      var k = 0
+      while (k < hist.length) { val v = hist(k); sc += v.toDouble * v; k += 1 }
+      sc
+    }
+    var best = 0.0
+    var bestScore = -1.0
+    var d = -maxDeg
+    while (d <= maxDeg + 1e-9) {
+      val sc = score(d)
+      if (sc > bestScore) { bestScore = sc; best = d }
+      d += 0.5
+    }
+    var fine = best
+    d = best - 0.4
+    while (d <= best + 0.4 + 1e-9) {
+      val sc = score(d)
+      if (sc > bestScore) { bestScore = sc; fine = d }
+      d += 0.1
+    }
+    fine
+  }
+
+  /** OPT-IN deskew stage (north_star: "deskew via Hough-line angle
+    * estimation"; absent from the reference code — SURVEY discrepancy
+    * note — so off by default, enabled via
+    * `ExtractJob.Config.preStages`): estimate the skew, rotate it out
+    * around the center with the page's modal (paper) value as fill.
+    * Angles under 0.05 deg are treated as already straight.
+    */
+  def deskew(px: Array[Int], w: Int, h: Int): Array[Int] = {
+    val a = estimateSkew(px, w, h)
+    if (math.abs(a) < 0.05) px
+    else rotate(px, w, h, -a, modalValue(px), bilinear = true)
+  }
 }

@@ -209,7 +209,8 @@ final class OcrEngine(val mode: String, val language: String = "eng") {
 
   /** Decode one raster. Deterministic: same bytes -> same Result. */
   def decode(bytes: Array[Byte], quality: String = "medium",
-             ocrMode: String = "standard"): Result = {
+             ocrMode: String = "standard",
+             preStages: Seq[String] = Nil): Result = {
     // compressed inputs (the reference's png/jpg/gif/bmp/tiff
     // allowlist) decode through ImageIO; raw synthetic rasters through
     // the parser — one code path after this line either way
@@ -219,10 +220,24 @@ final class OcrEngine(val mode: String, val language: String = "eng") {
     // must decode at native scale: its fixed MARGIN/CELL grid does not
     // survive rescaling (a capped page would decode to confident
     // garbage, not text), and its decode cost is the glyph scan itself
-    val (px, w, h) =
+    val (pxCapped, w, h) =
       if (graft.img.ImageCodec.isCompressedImage(bytes))
         ImageOps.resizeCap(px0, w0, h0, resizeCapFor(quality))
       else (px0, w0, h0)
+    // opt-in raster pre-stages (Config.preStages; default Nil = the
+    // reference-exact path): deskew then/or median denoise, in the
+    // caller's order, BEFORE the quality chain
+    val px = preStages.foldLeft(pxCapped) {
+      case (p, "deskew") => ImageOps.deskew(p, w, h)
+      // despeckle (conditional median) — the unconditional 3x3 median
+      // erases this codec's 1-px glyph strokes (ImageOps.despeckle3
+      // scaladoc); "median" selects the classical filter for
+      // real-image deployments
+      case (p, "denoise") => ImageOps.despeckle3(p, w, h)
+      case (p, "median") => ImageOps.medianFilter3(p, w, h)
+      case (p, other) =>
+        throw new IllegalArgumentException(s"unknown preStage '$other'")
+    }
 
     // run the chain, keeping the page's global threshold (if any) so the
     // decode tables reflect exactly this page's binarization

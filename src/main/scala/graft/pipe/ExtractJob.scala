@@ -54,7 +54,14 @@ object ExtractJob {
       outputBuckets: Int = 64,
       inputPartitions: Int = 0,
       maxMediaBytes: Long = 16L * 1024 * 1024,
-      language: String = "eng")
+      language: String = "eng",
+      // OPT-IN raster pre-stages, applied in order before the quality
+      // chain: "deskew" (Hough-vote angle estimate + rotate-out) and
+      // "denoise" (3x3 median). The north_star prose names both; the
+      // reference CODE has neither (SURVEY discrepancy note), so the
+      // default is OFF — span-equality fixtures are unchanged unless a
+      // deployment opts in for crooked/speckled scans.
+      preStages: Seq[String] = Nil)
 
   def preprocessModeFor(quality: String): String = quality match {
     // v2 quality -> preprocess chain (`app2.py:556-558`, `app2.py:1016-1017`):
@@ -85,15 +92,16 @@ object ExtractJob {
     * decode, and the whole-document fallback shape.
     */
   def decodeMedia(engine: graft.ocr.OcrEngine, bytes: Array[Byte],
-                  quality: String, ocrMode: String): (String, Double) =
+                  quality: String, ocrMode: String,
+                  preStages: Seq[String] = Nil): (String, Double) =
     if (graft.ops.Multimodal.kindOf(bytes) == "pdf") {
       val results = graft.ops.Multimodal.pdfPages(bytes)
-        .map(engine.decode(_, quality, ocrMode))
+        .map(engine.decode(_, quality, ocrMode, preStages))
       val pos = results.map(_.avgConfidence).filter(_ > 0)
       (results.map(_.text).mkString("\n\n"),
         if (pos.nonEmpty) pos.sum / pos.size else 0.0)
     } else {
-      val d = engine.decode(bytes, quality, ocrMode)
+      val d = engine.decode(bytes, quality, ocrMode, preStages)
       (d.text, d.avgConfidence)
     }
 
@@ -185,6 +193,7 @@ object ExtractJob {
     // (`-l {language}`, app.py:579); here it selects the per-executor
     // engine's decode tables (mode x language grid in EnginePool)
     val language = cfg.language
+    val preStages = cfg.preStages
     val refOcr = media
       .filter(length($"bytes") <= cfg.maxMediaBytes)
       .join(neededRefs, Seq("media_ref"), "left_semi")
@@ -196,7 +205,7 @@ object ExtractJob {
         val memo = scala.collection.mutable.HashMap.empty[String, OcrRow]
         it.map { case (ref, bytes, h) =>
           val r = memo.getOrElseUpdate(h, {
-            val (text, conf) = decodeMedia(engine, bytes, quality, ocrMode)
+            val (text, conf) = decodeMedia(engine, bytes, quality, ocrMode, preStages)
             OcrRow(h, text, conf)
           })
           RefOcr(ref, r.ocr_text, r.ocr_conf)

@@ -147,4 +147,113 @@ class CodecSpec extends AnyFunSuite {
     assert(r.text == "")
     assert(r.avgConfidence == 0.0)
   }
+
+  // ---- opt-in pre-stages (north_star's deskew + median denoise; absent
+  // from the reference CODE, so off by default — these cases prove
+  // identity-off and effective-on) ----------------------------------------
+
+  private def rerender(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    // raw GIMG container: [w:int32 BE | h:int32 BE | pixels]
+    val out = new Array[Byte](8 + w * h)
+    out(0) = (w >> 24).toByte; out(1) = (w >> 16).toByte
+    out(2) = (w >> 8).toByte; out(3) = w.toByte
+    out(4) = (h >> 24).toByte; out(5) = (h >> 16).toByte
+    out(6) = (h >> 8).toByte; out(7) = h.toByte
+    var i = 0
+    while (i < w * h) { out(8 + i) = px(i).toByte; i += 1 }
+    out
+  }
+
+  private def charSim(a: String, b: String): Double = {
+    val n = math.max(a.length, b.length)
+    if (n == 0) return 1.0
+    var same = 0
+    var i = 0
+    while (i < math.min(a.length, b.length)) { if (a(i) == b(i)) same += 1; i += 1 }
+    same.toDouble / n
+  }
+
+  test("preStages identity-off: default decode path is unchanged with Nil stages") {
+    val text = Corpus.mediaTextFor(7)
+    val bytes = SynthRaster.render(text, seed = 77L)
+    val e = EnginePool.get("default")
+    val a = e.decode(bytes)
+    val b = e.decode(bytes, preStages = Nil)
+    assert(a.text == b.text && a.avgConfidence == b.avgConfidence &&
+      a.confidences.toSeq == b.confidences.toSeq)
+    assert(a.text == SynthRaster.groundTruth(text))
+  }
+
+  test("deskew stage: a 1-degree-skewed page misreads without it, decodes exactly with it") {
+    // optical skew model: bilinear resampling (a crooked scan is an
+    // optical rotation, not a pixel permutation); multi-line page so
+    // the ink stays in frame; accurate engine mode (the misaligned-
+    // scan mode — the +1px-shift test above is its 0-degree case)
+    val text = Corpus.mediaTextFor(2)
+    val bytes = SynthRaster.render(text, seed = 93L)
+    val (w, h, px) = graft.img.ImageCodec.decode(bytes)
+    val fill = graft.img.ImageOps.modalValue(px)
+    val truth = SynthRaster.groundTruth(text)
+    val e = EnginePool.get("default")
+    val rot1 = rerender(
+      graft.img.ImageOps.rotate(px, w, h, 1.0, fill, bilinear = true), w, h)
+    val skewed = e.decode(rot1, ocrMode = "accurate")
+    assert(skewed.text != truth, "a 1-degree skew must break the grid decode")
+    val fixed = e.decode(rot1, ocrMode = "accurate", preStages = Seq("deskew"))
+    assert(fixed.text == truth,
+      s"deskew must restore the exact decode, got '${fixed.text}'")
+    // estimator sanity: recovers planted angles within 0.3 degrees
+    for (a <- Seq(-3.0, 1.0, 3.0)) {
+      val est = graft.img.ImageOps.estimateSkew(
+        graft.img.ImageOps.rotate(px, w, h, a, fill, bilinear = true), w, h)
+      assert(math.abs(est - a) <= 0.3, s"skew estimate $est for a $a-degree rotation")
+    }
+    // at a harsher 3-degree skew exactness is no longer guaranteed
+    // (bilinear smear at 3 deg exceeds the glyph margin) but the stage
+    // must still move the decode from garbage to near-truth
+    val rot3 = rerender(
+      graft.img.ImageOps.rotate(px, w, h, 3.0, fill, bilinear = true), w, h)
+    val raw3 = e.decode(rot3, ocrMode = "accurate").text
+    val fix3 = e.decode(rot3, ocrMode = "accurate", preStages = Seq("deskew")).text
+    assert(charSim(fix3, truth) > charSim(raw3, truth) + 0.5,
+      s"3-degree: fixSim=${charSim(fix3, truth)} rawSim=${charSim(raw3, truth)}")
+  }
+
+  test("denoise stage: salt-and-pepper speckle misreads without it, decodes exactly with it") {
+    val text = Corpus.mediaTextFor(11)
+    val bytes = SynthRaster.render(text, seed = 13L)
+    val (w, h, px) = graft.img.ImageCodec.decode(bytes)
+    // deterministic isolated speckles (grid-spaced so no two are
+    // adjacent — single-pixel black dots on paper / white holes in
+    // ink): exactly the outlier class the conditional median removes
+    // while 1-px glyph strokes (which always continue into a similar
+    // neighbor) survive
+    val speckled = px.clone()
+    var i = 0
+    while (i < speckled.length) {
+      val x = i % w
+      val y = i / w
+      if (x % 2 == 0 && y % 2 == 0) {
+        val r = graft.util.Det.at(0xbadL, i.toLong)
+        if (graft.util.Det.bounded(r, 10) == 0)
+          speckled(i) =
+            if (graft.util.Det.bounded(graft.util.Det.mix64(r), 2) == 0) 0 else 255
+      }
+      i += 1
+    }
+    val e = EnginePool.get("default")
+    val truth = SynthRaster.groundTruth(text)
+    val noisy = e.decode(rerender(speckled, w, h))
+    val cleaned = e.decode(rerender(speckled, w, h), preStages = Seq("denoise"))
+    assert(cleaned.text == truth,
+      s"despeckle denoise must restore the exact decode, got '${cleaned.text}'")
+    // the speckle must be observable on the raw path: broken text or
+    // strictly lower confidence than the denoised decode
+    assert(noisy.text != truth || noisy.avgConfidence < cleaned.avgConfidence,
+      "the planted speckle should be observable on the raw path")
+    // and the conditional median is an IDENTITY on the clean page
+    // (strokes untouched — the unconditional filter is not)
+    val clean2 = graft.img.ImageOps.despeckle3(px, w, h)
+    assert(clean2.toSeq == px.toSeq, "despeckle must not touch a clean page")
+  }
 }
