@@ -139,6 +139,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("text battery + extraction pipeline carry no interpreted HOF trees (round-5 purge)") {
+    // the round-4 verdict's remaining interpreted-HOF family: the
+    // gram/sentence/token windows under the dedup-text battery, the
+    // q07 token counts, and the extraction pipeline's span assembly.
+    // Native kernels (NgramJoin, SentenceSplitSql, TokenXxhash64,
+    // CountInSet, TokenizeWords raw/lower) + lambda-free rewrites must
+    // STAY on these paths — the OPTIMIZED plan is checked (cheap, no
+    // execution) because several of these queries are corpus-sized.
+    val names = Seq(
+      "q07_token_count", "q10_fingerprint", "q13_clamp_nav",
+      "q15_stopword_ratio", "q17_summarize_sql", "q45_paragraph_dedup",
+      "q48_substring_dedup", "q52_line_dedup", "q61_winnow_fingerprints",
+      "q83_distinct_ngrams", "q102_shingle_containment", "x05_simhash",
+      "x01_extract_spans", "x02_extract_docs", "x16_pdf_extract")
+    names.foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan.toString.toLowerCase
+      Seq("zip_with(", "lambdafunction(").foreach { marker =>
+        assert(!plan.contains(marker),
+          s"$name optimized plan contains interpreted HOF '$marker'")
+      }
+    }
+  }
+
   test("gopher/sessionize funnel through ONE data shuffle (window exchange reused by aggs)") {
     // groupBy keys that contain the window's partition key satisfy its
     // clustering, so the gram aggregation (doc_id, kind, g), the
