@@ -255,6 +255,67 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  // ---- round-5 text-kernel laws (pure JVM sides of the codegen
+  // expressions; the Spark-side twin equalities live in FunctionsSpec) ----
+
+  private val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar.map(_.toString),
+    3 -> Gen.oneOf(" ", " ", "\t", "\n", ".", ",", "!", "?", "-", "_"),
+    // includes a supplementary-plane codepoint (musical G clef) — the
+    // codepoint-vs-char distinction the kernels must get right
+    1 -> Gen.oneOf("é", "Ü", "ß", "中", "𝄞"))).map(_.mkString)
+
+  property("NgramKernel == sliding-window mkString reference") =
+    forAll(textGen, Gen.choose(1, 5)) { (s, n) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val toks = graft.functions.TokenizeKernel.evalRaw(UTF8String.fromString(s))
+      val tokSeq = (0 until toks.numElements()).map(i => toks.getUTF8String(i).toString)
+      val got = graft.functions.NgramKernel.eval(toks, n, UTF8String.fromString(" "))
+      val gotSeq = (0 until got.numElements()).map(i => got.getUTF8String(i).toString)
+      val want =
+        if (tokSeq.length < n) Seq.empty
+        else tokSeq.sliding(n).map(_.mkString(" ")).toSeq
+      gotSeq == want
+    }
+
+  property("TokenizeKernel raw == split-filter reference; lower == raw(lowercased) on ASCII") =
+    forAll(textGen) { s =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val raw = graft.functions.TokenizeKernel.evalRaw(UTF8String.fromString(s))
+      val rawSeq = (0 until raw.numElements()).map(i => raw.getUTF8String(i).toString)
+      val want = s.split("\\W+").filter(_.nonEmpty).toSeq
+      rawSeq == want
+    }
+
+  property("RollingFp31 == codepoint fold mod 2^31-1") =
+    forAll(textGen) { s =>
+      import org.apache.spark.unsafe.types.UTF8String
+      var h = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = java.lang.Math.floorMod(h * 1000003L + cp, 2147483647L)
+        i += Character.charCount(cp)
+      }
+      graft.functions.TextKernels.rollingFp(UTF8String.fromString(s)) == h
+    }
+
+  property("despeckle3 is identity when every pixel has a similar neighbor") =
+    forAll(Gen.choose(3, 12), Gen.choose(3, 12), Gen.choose(0, 200)) { (w, h, base) =>
+      // constant-ish image (gradient within +-1 per step): every pixel
+      // has all neighbors within 64 -> despeckle must change nothing
+      val px = Array.tabulate(w * h)(i => (base + (i % 3)).min(255))
+      ImageOps.despeckle3(px, w, h).toSeq == px.toSeq
+    }
+
+  property("estimateSkew of an unrotated render is ~0; rotate(a) then rotate(-a) bilinear keeps ink mass") =
+    forAll(Gen.choose(0, 20)) { ti =>
+      val text = graft.gen.Corpus.mediaTextFor(ti)
+      val bytes = SynthRaster.render(text, seed = 1000L + ti)
+      val (w, h, px) = graft.img.ImageCodec.decode(bytes)
+      math.abs(ImageOps.estimateSkew(px, w, h)) <= 0.2
+    }
+
   property("sig agreement: symmetric, bounded, k iff equal; band keys: equal slices share keys") =
     forAll(Gen.choose(1, 4), Gen.listOfN(8, Gen.choose(0L, 9L)), Gen.listOfN(8, Gen.choose(0L, 9L))) {
       (bands0, as, bs) =>
