@@ -127,7 +127,7 @@ object SparkEntry {
 
     "q08_word_freq" -> ((s, dir) => {
       s.read.parquet(p(dir, "documents"))
-        .select(explode(filter(split(lower(col("text")), "\\W+"), t => t =!= "")).as("word"))
+        .select(explode(graft.functions.GraftFunctions.tokenizeWords(col("text"))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(100)
@@ -178,8 +178,8 @@ object SparkEntry {
       s.read.parquet(p(dir, "documents"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          array_join(transform(sort_array(collect_list(col("doc_id"))),
-            x => x.cast("string")), ",").as("doc_ids"))
+          array_join(sort_array(collect_list(col("doc_id"))).cast("array<string>"),
+            ",").as("doc_ids"))
         .orderBy(col("lang"))
     }),
 
@@ -708,7 +708,7 @@ object SparkEntry {
       // cumulative walk runs over distinct values, not rows)
       val d = s.read.parquet(p(dir, "documents"))
         .select(col("source"),
-          size(filter(split(lower(col("text")), "\\W+"), t => t =!= ""))
+          size(graft.functions.GraftFunctions.tokenizeWords(col("text")))
             .cast("long").as("n_tokens"))
       graft.ops.Quantiles.exactIntQuantiles(d, "n_tokens",
           Seq(100, 250, 500, 750, 900, 990), keys = Seq("source"))
@@ -963,7 +963,9 @@ object SparkEntry {
       val d = s.read.parquet(p(dir, "documents")).select(
         col("source"), col("n_chars"),
         size(t).cast("double").as("n_tok"),
-        size(filter(t, w => length(w) > 5)).cast("double").as("n_long"))
+        // long tokens (> 5 chars) == maximal \w runs of length >= 6 in
+        // the raw text: one codegen regexp_count, no per-token lambda
+        regexp_count(col("text"), lit("\\w{6,}")).cast("double").as("n_long"))
       graft.ops.Regression.olsTwoFeature(
           d, col("n_chars"), col("n_tok"), col("n_long"), keys = Seq("source"))
         .orderBy(col("source"))
@@ -1356,9 +1358,9 @@ object SparkEntry {
       // exact recount of candidates only -> threshold. Output is
       // provably equal to the plain group-count-HAVING query, which
       // is the DuckDB oracle — the sketch guarantee, checked.
-      val toks = filter(split(lower(col("text")), "\\W+"), t => t =!= "")
       val words = s.read.parquet(p(dir, "documents"))
-        .select(explode(toks).as("word"))
+        .select(explode(
+          graft.functions.GraftFunctions.tokenizeWords(col("text"))).as("word"))
       graft.ops.Sketches.heavyHitters(words, k = 64)
         .orderBy(col("word"))
     }),
@@ -1560,14 +1562,16 @@ object SparkEntry {
       // (each document's text split into 10-token pages) so the scope
       // operator gets a DuckDB oracle; the OCR-content page scope stays
       // covered by x14 + the PipelineSpec north-rule fixtures.
+      // span structs collected in FINAL field order behind a numeric
+      // sort key (the x18 pattern — no per-element rebuild lambda)
       val chunks = chunks10(s.read.parquet(p(dir, "documents")))
       val assembled = chunks
         .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("idx"), col("chunk")))).as("sp"))
-        .select(col("doc_id"), transform(col("sp"), x => struct(
-          lit("text").as("kind"), x("chunk").as("text"),
-          lit("").as("media_ref"), x("idx").as("offset"),
-          lit(90.0).as("confidence"))).as("spans"))
+        .agg(sort_array(collect_list(struct(col("idx"),
+          struct(lit("text").as("kind"), col("chunk").as("text"),
+            lit("").as("media_ref"), col("idx").as("offset"),
+            lit(90.0).as("confidence")).as("s")))).as("sp"))
+        .select(col("doc_id"), col("sp.s").as("spans"))
       graft.pipe.Scope.pageScope(assembled)
         .drop("summary")
         .orderBy(col("doc_id"), col("page"))

@@ -45,30 +45,30 @@ object Dsir {
                         textCol: String = "text"): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
     def toks(c: Column) = graft.functions.GraftFunctions.tokenizeWords(c)
-    def feats(c: Column) = {
-      val t = toks(c)
-      val bgs = zip_with(
-        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
-        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b))
-      // shared md5-hex-head uniform hash (SqlCols.md5Head32): 32 bits,
-      // safely inside LONG for the mod (ANSI-safe)
-      transform(bgs, bg =>
-        pmod(graft.util.SqlCols.md5Head32(bg), lit(buckets.toLong)))
-    }
+    // hashed bigram features: native gram kernel for the adjacent
+    // pairs, then the shared md5-hex-head uniform hash (SqlCols
+    // .md5Head32 — 32 bits, safely inside LONG for the mod, ANSI-safe)
+    // applied ROW-WISE after the explode (the former transform-over-
+    // zip_with evaluated two interpreted lambdas per pair)
+    def explodedFeats(src: DataFrame, extra: Seq[Column]): DataFrame =
+      src.select(extra :+ explode(
+          graft.functions.GraftFunctions.ngramJoin(toks(col(textCol)), 2))
+          .as("__bg"): _*)
+        .select(extra :+
+          pmod(graft.util.SqlCols.md5Head32(col("__bg")), lit(buckets.toLong))
+            .as("f"): _*)
     // pinned: each model feeds BOTH its total and the scoring join —
     // without the pin the corpus-sized feature scan would run once
     // per consumer (the model itself is <= B rows, bounded); the
     // broadcast below is structural, not a size guess
-    def model(src: DataFrame, cnt: String) = src
-      .select(explode(feats(col(textCol))).as("f"))
+    def model(src: DataFrame, cnt: String) = explodedFeats(src, Seq.empty)
       .groupBy(col("f")).agg(count(lit(1)).as(cnt))
       .localCheckpoint()
     val tm = model(target, "ct")
     val rm = model(docs, "cr")
     val consts = tm.agg(coalesce(sum(col("ct")), lit(0L)).as("__tt"))
       .crossJoin(rm.agg(coalesce(sum(col("cr")), lit(0L)).as("__tr")))
-    val docF = docs.select(col(idCol), explode(feats(col(textCol))).as("f"))
+    val docF = explodedFeats(docs, Seq(col(idCol)))
     docF
       .join(broadcast(tm), Seq("f"), "left")
       .join(broadcast(rm), Seq("f"), "left")

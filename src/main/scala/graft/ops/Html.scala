@@ -96,9 +96,7 @@ object Html {
         count(lit(1)).cast("long").as("n_blocks"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         array_join(
-          transform(
-            array_sort(collect_list(when(col("keep"),
-              struct(col("block_pos"), col("block_text"))))),
-            b => b("block_text")),
+          sort_array(collect_list(when(col("keep"),
+            struct(col("block_pos"), col("block_text"))))).getField("block_text"),
           "\n\n").as("main_text"))
 }

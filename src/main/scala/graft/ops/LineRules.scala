@@ -35,7 +35,9 @@ import org.apache.spark.sql.functions._
 object LineRules {
 
   def c4LineFilter(lines: DataFrame, minWords: Int = 5, minKept: Int = 3): DataFrame = {
-    val words = filter(split(col("line"), "\\W+"), t => t =!= "")
+    // native case-preserving tokenizer (the count is case-insensitive
+    // anyway; the former filter(split(...)) HOF was interpreted)
+    val words = graft.functions.GraftFunctions.tokenizeRaw(col("line"))
     // \z, not $: Java's $ also matches before a trailing line
     // terminator, so a CR/LF-terminated line would pass here while the
     // RE2 oracle (end-of-text $) drops it
@@ -52,10 +54,8 @@ object LineRules {
         count(lit(1)).as("n_lines"),
         sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
         array_join(
-          transform(
-            array_sort(collect_list(when(col("__keep"),
-              struct(col("idx"), col("line"))))),
-            s => s.getField("line")),
+          sort_array(collect_list(when(col("__keep"),
+            struct(col("idx"), col("line"))))).getField("line"),
           "\n").as("kept_text"),
         bool_or(col("__lorem")).as("__lorem"))
       .select(col("doc_id"), col("n_lines"), col("n_kept"), col("kept_text"),

@@ -67,8 +67,8 @@ object LmScore {
     * bigrams and drop, mirroring the unigram operator's empty-doc
     * rule.
     *
-    * Scale shape: bigrams are formed MAP-SIDE (`zip_with` of the
-    * token array against its own tail — no posexplode self-join, no
+    * Scale shape: bigrams are formed MAP-SIDE (the native gram
+    * kernel over the token array — no posexplode self-join, no
     * window); the model is one hash agg over the reference slice
     * plus two O(model)-sized derived aggs (context sums, vocab
     * count); scoring is a (w1,w2)->count join + a context join + a
@@ -79,27 +79,29 @@ object LmScore {
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
     def toks(c: Column) = graft.functions.GraftFunctions.tokenizeWords(c)
-    def bigrams(c: Column) = {
-      val t = toks(c)
-      zip_with(
-        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
-        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-        (a, b) => struct(a.as("w1"), b.as("w2")))
-    }
+    // bigrams via the native gram kernel (adjacent pairs joined " ");
+    // w1/w2 split back row-wise AFTER the explode (tokens cannot
+    // contain spaces) — the former zip_with-of-struct form evaluated
+    // an interpreted lambda per pair
+    def bigramCols(src: DataFrame, extra: Seq[Column]): DataFrame =
+      src.select(extra :+ explode(
+          graft.functions.GraftFunctions.ngramJoin(toks(col(textCol)), 2))
+          .as("__bg"): _*)
+        .select(extra ++ Seq(
+          substring_index(col("__bg"), " ", 1).as("w1"),
+          substring_index(col("__bg"), " ", -1).as("w2")): _*)
     val refToks = ref.select(explode(toks(col(textCol))).as("word"))
     val vocab = refToks.agg(
       greatest(count_distinct(col("word")), lit(1L)).as("__v"))
     // pinned: ctx and the scoring join both derive from refBg —
     // one evaluation of the reference bigram scan (the model is
     // bigram-vocab-sized, bounded)
-    val refBg = ref
-      .select(explode(bigrams(col(textCol))).as("bg"))
-      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val refBg = bigramCols(ref, Seq.empty)
+      .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
       .localCheckpoint()
     val ctx = refBg.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val docBg = docs.select(col(idCol), explode(bigrams(col(textCol))).as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val docBg = bigramCols(docs, Seq(col(idCol)))
     docBg
       .join(refBg, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")

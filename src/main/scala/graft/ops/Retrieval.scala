@@ -36,10 +36,14 @@ object Retrieval {
     val terms = queryTerms.map(_.toLowerCase).distinct
     def toks(c: Column) = graft.functions.GraftFunctions.tokenizeWords(c)
     // one corpus pass: doc length + per-probe-term tf (map-side filter)
+    // explode first, filter row-wise: InSet on a row column is
+    // codegen'd, the array-filter lambda is interpreted; the explode
+    // fan-out is bounded by doc length either way and the filter
+    // still runs map-side before any shuffle
     val base = docs.select(col(idCol), toks(col(textCol)).as("__t"))
       .select(col(idCol), size(col("__t")).as("len"),
-        explode(filter(col("__t"),
-          t => t.isInCollection(terms))).as("term"))
+        explode(col("__t")).as("term"))
+      .filter(col("term").isInCollection(terms))
     val tf = base.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("len")).as("len"))
     // corpus scalars: N and avg len come from the docs table itself

@@ -72,13 +72,16 @@ object TextAnalysis {
   def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val tk = toks(t)
-    val stopHits = size(filter(tk,
-      x => x.isin(graft.text.Stopwords.set.toSeq.map(lit): _*)))
+    val stopHits = graft.functions.GraftFunctions.countInSet(
+      tk, graft.text.Stopwords.set.toSeq)
     docs
       .withColumn("n_chars", length(t))
       .withColumn("n_words", size(tk))
       .withColumn("mean_word_len",
-        round(aggregate(tk, lit(0L), (a, x) => a + length(x)).cast("double") /
+        // sum of token lengths == length of the separator-less join
+        // (char counts are additive) — codegen'd, no per-token
+        // interpreted aggregate lambda
+        round(length(array_join(tk, "")).cast("double") /
           greatest(size(tk), lit(1)), 4))
       .withColumn("punct_ratio",
         round((length(t) - length(regexp_replace(t, "[.!?,;:]", ""))).cast("double") /
