@@ -148,11 +148,16 @@ class PlanSpec extends AnyFunSuite {
     // STAY on these paths — the OPTIMIZED plan is checked (cheap, no
     // execution) because several of these queries are corpus-sized.
     val names = Seq(
-      "q07_token_count", "q10_fingerprint", "q13_clamp_nav",
-      "q15_stopword_ratio", "q17_summarize_sql", "q45_paragraph_dedup",
-      "q48_substring_dedup", "q52_line_dedup", "q61_winnow_fingerprints",
-      "q83_distinct_ngrams", "q102_shingle_containment", "x05_simhash",
-      "x01_extract_spans", "x02_extract_docs", "x16_pdf_extract")
+      "q07_token_count", "q08_word_freq", "q10_fingerprint",
+      "q11_quality_score", "q12_langid", "q13_clamp_nav",
+      "q14_scope_concat", "q15_stopword_ratio", "q17_summarize_sql",
+      "q30_html_main_content", "q38_heavy_hitters", "q45_paragraph_dedup",
+      "q48_substring_dedup", "q52_line_dedup", "q54_bigram_lm",
+      "q60_bm25", "q61_winnow_fingerprints", "q64_dsir_weights",
+      "q66_exact_quantiles", "q74_c4_line_filter", "q83_distinct_ngrams",
+      "q85_ols_gram", "q102_shingle_containment", "x05_simhash",
+      "x01_extract_spans", "x02_extract_docs", "x13_scope_page",
+      "x16_pdf_extract", "x18_extract_text_spans")
     names.foreach { name =>
       val plan = graft.SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.optimizedPlan.toString.toLowerCase
