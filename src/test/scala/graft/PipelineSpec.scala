@@ -280,4 +280,94 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed.length == batch.length)
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
+
+  test("preStages plumb through the pipeline: crooked+speckled scans decode exactly with them on") {
+    // end-to-end Config.preStages coverage (CodecSpec tests the engine
+    // hook; this drives the mapPartitions kernel closure): media
+    // rendered then optically rotated 1 degree and speckled with
+    // grid-isolated salt/pepper — the full pipeline must restore
+    // exact span text with the stages on, and misread with them off.
+    import spark.implicits._
+    val texts = (0 until 6).map(Corpus.mediaTextFor)
+    def pack(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+      val bytes = new Array[Byte](8 + w * h)
+      bytes(0) = (w >> 24).toByte; bytes(1) = (w >> 16).toByte
+      bytes(2) = (w >> 8).toByte; bytes(3) = w.toByte
+      bytes(4) = (h >> 24).toByte; bytes(5) = (h >> 16).toByte
+      bytes(6) = (h >> 8).toByte; bytes(7) = h.toByte
+      var k = 0
+      while (k < w * h) { bytes(8 + k) = px(k).toByte; k += 1 }
+      bytes
+    }
+    def crooked(i: Int): Array[Byte] = {
+      val clean = graft.codec.SynthRaster.render(texts(i), seed = 700L + i)
+      val (w, h, px) = graft.img.ImageCodec.decode(clean)
+      val fill = graft.img.ImageOps.modalValue(px)
+      pack(graft.img.ImageOps.rotate(px, w, h, 1.0, fill, bilinear = true), w, h)
+    }
+    def speckled(i: Int): Array[Byte] = {
+      val clean = graft.codec.SynthRaster.render(texts(i), seed = 700L + i)
+      val (w, h, px) = graft.img.ImageCodec.decode(clean)
+      // ink-isolated PAPER speckles only (black dots whose whole 3x3
+      // neighborhood is paper): an outlier touching a stroke has a
+      // similar ink neighbor and survives the conditional median BY
+      // DESIGN (stroke preservation), so whether it flips a glyph is
+      // a margin coin-toss, not the stage's contract. Isolated dots
+      // are exactly the contract — and they still break the raw
+      // decode (a dot in a blank cell reads as a confident non-space).
+      def isolatedPaper(j: Int): Boolean = {
+        val x = j % w
+        val y = j / w
+        if (x < 1 || y < 1 || x >= w - 1 || y >= h - 1) return false
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            if (px((y + dy) * w + (x + dx)) <= 128) return false
+            dx += 1
+          }
+          dy += 1
+        }
+        true
+      }
+      var j = 0
+      while (j < px.length) {
+        if (j % w % 2 == 0 && j / w % 2 == 0 && isolatedPaper(j) &&
+            graft.util.Det.bounded(graft.util.Det.at(0xccdL + i, j.toLong), 12) == 0)
+          px(j) = 0
+        j += 1
+      }
+      pack(px, w, h)
+    }
+    def run(mk: Int => Array[Byte], cfg: ExtractJob.Config): Map[String, String] = {
+      val media = spark.createDataset(texts.indices.map(i =>
+        (f"crk-$i%02d", mk(i)))).toDF("media_ref", "bytes")
+      val docs = spark.createDataset(texts.indices.map(i =>
+        graft.gen.InDoc(f"crkdoc-$i%02d",
+          Seq(graft.gen.InSpan("media", "", f"crk-$i%02d", 0))))).toDF()
+      ExtractJob.extractSpans(spark, docs, media, cfg)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    val truths = texts.map(graft.codec.SynthRaster.groundTruth)
+    // v1 quality = the default blur3+Otsu chain (the CodecSpec-proven
+    // deskew margin lives on that chain)
+    val deskewOn = run(crooked, ExtractJob.Config(quality = "v1",
+      preStages = Seq("deskew")))
+    val deskewOff = run(crooked, ExtractJob.Config(quality = "v1"))
+    val denoiseOn = run(speckled, ExtractJob.Config(quality = "v1",
+      preStages = Seq("denoise")))
+    val denoiseOff = run(speckled, ExtractJob.Config(quality = "v1"))
+    texts.indices.foreach { i =>
+      assert(denoiseOn(f"crkdoc-$i%02d") == truths(i),
+        s"denoise-on decode of doc $i must be exact, got '${denoiseOn(f"crkdoc-$i%02d")}'")
+    }
+    assert(texts.indices.exists(i => denoiseOff(f"crkdoc-$i%02d") != truths(i)),
+      "the speckled corpus should misread somewhere with denoise off")
+    val exactDeskew = texts.indices.count(i => deskewOn(f"crkdoc-$i%02d") == truths(i))
+    val exactRaw = texts.indices.count(i => deskewOff(f"crkdoc-$i%02d") == truths(i))
+    assert(exactRaw == 0, "the crooked corpus should misread with deskew off")
+    assert(exactDeskew >= 4,
+      s"deskew through the pipeline should recover most docs exactly ($exactDeskew/6)")
+  }
 }
