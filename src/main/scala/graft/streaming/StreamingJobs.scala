@@ -90,6 +90,7 @@ object StreamingJobs {
     val ocrMode = ExtractJob.ocrModeFor(cfg.quality)
     val quality = cfg.quality
     val language = cfg.language
+    val preStages = cfg.preStages
     val mediaOut = exploded
       .filter($"kind" === "media")
       .select($"doc_id", $"kind", $"media_ref", $"offset")
@@ -109,7 +110,7 @@ object StreamingJobs {
               val h = java.security.MessageDigest.getInstance("SHA-256")
                 .digest(bytes).map(b => f"$b%02x").mkString
               memo.getOrElseUpdate(h,
-                ExtractJob.decodeMedia(engine, bytes, quality, ocrMode))
+                ExtractJob.decodeMedia(engine, bytes, quality, ocrMode, preStages))
             }
           (docId, "media", text, ref, offset, conf)
         }
