@@ -964,8 +964,12 @@ object SparkEntry {
         col("source"), col("n_chars"),
         size(t).cast("double").as("n_tok"),
         // long tokens (> 5 chars) == maximal \w runs of length >= 6 in
-        // the raw text: one codegen regexp_count, no per-token lambda
-        regexp_count(col("text"), lit("\\w{6,}")).cast("double").as("n_long"))
+        // the LOWERCASED text (the tokenizer lowercases first, and for
+        // characters like U+212A whose lowercase crosses into ASCII \w
+        // the run structure differs — counting on the raw text would
+        // silently diverge from the oracle): one codegen regexp_count,
+        // no per-token lambda
+        regexp_count(lower(col("text")), lit("\\w{6,}")).cast("double").as("n_long"))
       graft.ops.Regression.olsTwoFeature(
           d, col("n_chars"), col("n_tok"), col("n_long"), keys = Seq("source"))
         .orderBy(col("source"))

@@ -152,8 +152,14 @@ object ExtractJob {
     // fail fast on an unknown language AT PLAN TIME: at 10^12 docs a bad
     // config must not surface as per-task failures (x retries x tasks)
     // deep into the job — fontFor throws the tesseract-style
-    // missing-traineddata error on the driver instead
+    // missing-traineddata error on the driver instead. Same invariant
+    // for preStages: a typo'd stage name must fail here, not in every
+    // task's first decode.
     graft.codec.Glyphs.fontFor(cfg.language): Unit
+    cfg.preStages.foreach { s =>
+      require(Set("deskew", "denoise", "median").contains(s),
+        s"unknown preStage '$s' (supported: deskew, denoise, median)")
+    }
 
     val nParts = spark.sparkContext.defaultParallelism * 2
     // explode_outer: a doc with an empty/null spans array still emits a
@@ -255,7 +261,15 @@ object ExtractJob {
       .agg(
         sort_array(collect_list(when($"kind".isNotNull, struct(
           $"offset", $"kind", $"text", $"media_ref", $"confidence")))).as("sp"),
-        avg(when($"confidence" > 0, $"confidence")).as("__conf"),
+        // DECIMAL-summed mean: decimal addition is exact and
+        // commutative, so the result is independent of partition/merge
+        // order (a raw double avg can drift one ULP with scheduling —
+        // the old offset-ordered fold was bit-deterministic and the
+        // pipeline's determinism contract must survive the rewrite);
+        // the <= 1e-12 quantization sits far inside the 4-dp rounding
+        // and the specs' 1e-9 tolerance
+        avg(when($"confidence" > 0, $"confidence").cast("decimal(24,12)"))
+          .cast("double").as("__conf"),
         sum(when($"kind" === "media", 1L).otherwise(0L)).cast("int").as("__media_count"))
   }
 

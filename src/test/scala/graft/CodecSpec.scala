@@ -152,17 +152,8 @@ class CodecSpec extends AnyFunSuite {
   // from the reference CODE, so off by default — these cases prove
   // identity-off and effective-on) ----------------------------------------
 
-  private def rerender(px: Array[Int], w: Int, h: Int): Array[Byte] = {
-    // raw GIMG container: [w:int32 BE | h:int32 BE | pixels]
-    val out = new Array[Byte](8 + w * h)
-    out(0) = (w >> 24).toByte; out(1) = (w >> 16).toByte
-    out(2) = (w >> 8).toByte; out(3) = w.toByte
-    out(4) = (h >> 24).toByte; out(5) = (h >> 16).toByte
-    out(6) = (h >> 8).toByte; out(7) = h.toByte
-    var i = 0
-    while (i < w * h) { out(8 + i) = px(i).toByte; i += 1 }
-    out
-  }
+  private def rerender(px: Array[Int], w: Int, h: Int): Array[Byte] =
+    SynthRaster.toBytes(w, h, px) // the format's own raw encoder
 
   private def charSim(a: String, b: String): Double = {
     val n = math.max(a.length, b.length)

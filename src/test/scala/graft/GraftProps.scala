@@ -308,12 +308,25 @@ object GraftProps extends Properties("graft") {
       ImageOps.despeckle3(px, w, h).toSeq == px.toSeq
     }
 
-  property("estimateSkew of an unrotated render is ~0; rotate(a) then rotate(-a) bilinear keeps ink mass") =
-    forAll(Gen.choose(0, 20)) { ti =>
+  property("estimateSkew of an unrotated render is ~0; rotate round trip keeps ink mass") =
+    forAll(Gen.choose(0, 20), Gen.choose(-30, 30)) { (ti, tenths) =>
       val text = graft.gen.Corpus.mediaTextFor(ti)
       val bytes = SynthRaster.render(text, seed = 1000L + ti)
       val (w, h, px) = graft.img.ImageCodec.decode(bytes)
-      math.abs(ImageOps.estimateSkew(px, w, h)) <= 0.2
+      val zeroOk = math.abs(ImageOps.estimateSkew(px, w, h)) <= 0.2
+      // bilinear rotate(a) then rotate(-a): ink mass (pixels below the
+      // ink/paper midpoint) survives within 25% — a sign/fill bug in
+      // the rotation destroys it outright
+      val a = tenths / 10.0
+      val fill = ImageOps.modalValue(px)
+      val back = ImageOps.rotate(
+        ImageOps.rotate(px, w, h, a, fill, bilinear = true),
+        w, h, -a, fill, bilinear = true)
+      def inkMass(p: Array[Int]) = p.count(_ < 124)
+      val m0 = inkMass(px)
+      val m1 = inkMass(back)
+      val massOk = m0 == 0 || (m1 >= m0 * 3 / 4 && m1 <= m0 * 5 / 4)
+      zeroOk && massOk
     }
 
   property("sig agreement: symmetric, bounded, k iff equal; band keys: equal slices share keys") =

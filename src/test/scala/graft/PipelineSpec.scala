@@ -289,16 +289,8 @@ class PipelineSpec extends AnyFunSuite {
     // exact span text with the stages on, and misread with them off.
     import spark.implicits._
     val texts = (0 until 6).map(Corpus.mediaTextFor)
-    def pack(px: Array[Int], w: Int, h: Int): Array[Byte] = {
-      val bytes = new Array[Byte](8 + w * h)
-      bytes(0) = (w >> 24).toByte; bytes(1) = (w >> 16).toByte
-      bytes(2) = (w >> 8).toByte; bytes(3) = w.toByte
-      bytes(4) = (h >> 24).toByte; bytes(5) = (h >> 16).toByte
-      bytes(6) = (h >> 8).toByte; bytes(7) = h.toByte
-      var k = 0
-      while (k < w * h) { bytes(8 + k) = px(k).toByte; k += 1 }
-      bytes
-    }
+    def pack(px: Array[Int], w: Int, h: Int): Array[Byte] =
+      graft.codec.SynthRaster.toBytes(w, h, px)
     def crooked(i: Int): Array[Byte] = {
       val clean = graft.codec.SynthRaster.render(texts(i), seed = 700L + i)
       val (w, h, px) = graft.img.ImageCodec.decode(clean)
