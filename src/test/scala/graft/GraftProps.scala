@@ -315,8 +315,12 @@ object GraftProps extends Properties("graft") {
       val (w, h, px) = graft.img.ImageCodec.decode(bytes)
       val zeroOk = math.abs(ImageOps.estimateSkew(px, w, h)) <= 0.2
       // bilinear rotate(a) then rotate(-a): ink mass (pixels below the
-      // ink/paper midpoint) survives within 25% — a sign/fill bug in
-      // the rotation destroys it outright
+      // ink/paper midpoint) survives within a third — a sign/fill bug
+      // in the rotation destroys it outright (near-zero mass), while
+      // legitimate double-interpolation erosion of 1-px glyph strokes
+      // bottoms out at 70.6% over this generator domain (exhaustive
+      // ti x tenths sweep, round 6 — the old 75% bound sat INSIDE the
+      // legitimate range and failed on seed ti=16, tenths=-27)
       val a = tenths / 10.0
       val fill = ImageOps.modalValue(px)
       val back = ImageOps.rotate(
@@ -325,7 +329,7 @@ object GraftProps extends Properties("graft") {
       def inkMass(p: Array[Int]) = p.count(_ < 124)
       val m0 = inkMass(px)
       val m1 = inkMass(back)
-      val massOk = m0 == 0 || (m1 >= m0 * 3 / 4 && m1 <= m0 * 5 / 4)
+      val massOk = m0 == 0 || (m1 >= m0 * 2 / 3 && m1 <= m0 * 4 / 3)
       zeroOk && massOk
     }
 
