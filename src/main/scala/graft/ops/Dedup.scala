@@ -85,33 +85,45 @@ object Dedup {
   }
 
   /** MinHash signatures over one representative per distinct normalized
-    * content. Exact duplicates are collapsed FIRST: clusters of
-    * identical text would otherwise meet in every band bucket and blow
-    * the self-join up quadratically (standard practice at corpus
-    * scale); exact() reports the identical groups separately.
+    * content. Exact duplicates are collapsed by the fingerprint
+    * aggregate: clusters of identical text would otherwise meet in
+    * every band bucket and blow the self-join up quadratically
+    * (standard practice at corpus scale); exact() reports the
+    * identical groups separately.
+    *
+    * Plan shape (round-6, guide §2.3/§8 — shuffle the text once, then
+    * only proxies): ONE pinned-width repartition by id parallelizes
+    * the kernel (REPARTITION_BY_NUM is exempt from AQE coalescing,
+    * and the corpus files here are far smaller than any scan split,
+    * so scan parallelism alone cannot feed the kernel — measured 13 s
+    * single-task when the kernel rode the raw one-file scan vs ~2 s
+    * at pinned width), the signature is computed IN that stage, and
+    * the fingerprint collapse then shuffles only (fp 16B, id,
+    * sig k×8B). The round-5 form shuffled the full text TWICE — once
+    * into the fingerprint collapse, once into the re-parallelizing
+    * repartition after it. Members of one fingerprint group share the
+    * normalized text, and the tokenizer lowercases and splits on \W+
+    * (case and whitespace-run differences — the only differences a
+    * group admits — vanish under both), so every member's token
+    * sequence, hence signature, is identical: first(sig) is
+    * deterministic exactly as first(text) was. Trade-off, documented:
+    * the kernel now runs once per DOCUMENT rather than once per
+    * distinct content — under an extreme exact-dup ratio the round-5
+    * collapse-first order saves kernel CPU at the price of the second
+    * full-text shuffle; at web-scale dup ratios (and in this corpus,
+    * which has none) the full-text exchange is the scarcer resource.
     */
   private def signaturesOf(docs: DataFrame, k: Int,
-                           idCol: String, textCol: String): DataFrame = {
-    val reps = docs
-      .withColumn("__fp", fingerprint(col(textCol)))
-      .groupBy(col("__fp"))
-      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("__text"))
-    // pin the signature-map width: AQE coalesces the post-collapse
-    // shuffle by BYTES, and text bytes are tiny relative to the
-    // shingle+minhash cost per row — without the pin the whole
-    // signature stage runs as one task (measured: 6.5s single-task at
-    // 8 cores). REPARTITION_BY_NUM is exempt from AQE coalescing.
-    // Shingling is the native fused kernel (the declarative
-    // shingleHashes(shingles(...)) twin below stays law-checked):
-    // nested higher-order transforms are interpreted per row and were
-    // the residual x04 cost in round 2.
-    reps
+                           idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2, col("id"))
-      .withColumn("hashed",
-        graft.functions.GraftFunctions.shingleHashes(col("__text"), 3))
-      .select(col("id"),
-        graft.functions.GraftFunctions.minhashSig(col("hashed"), k).as("sig"))
-  }
+      .select(fingerprint(col("__text")).as("__fp"), col("id"),
+        graft.functions.GraftFunctions.minhashSig(
+          graft.functions.GraftFunctions.shingleHashes(col("__text"), 3), k).as("sig"))
+      .groupBy(col("__fp"))
+      .agg(min(col("id")).as("id"), first(col("sig")).as("sig"))
+      .select(col("id"), col("sig"))
 
   /** (id, sig, band, bucket) band memberships of the signatures —
     * bucket keys by the native [[graft.functions.SigBandKeys]] fold
@@ -308,14 +320,22 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 8,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // simhash before the exact-dup collapse (round-6, the signaturesOf
+    // rationale): one pinned-width repartition by id parallelizes the
+    // kernel (the one-file bench scan would otherwise serialize it),
+    // then only (fp, id, 8-byte sh) shuffles into the collapse — the
+    // round-5 form shuffled the text twice. Identical normalized text
+    // ⇒ identical lowercase token multiset ⇒ identical simhash, so
+    // first(sh) is deterministic.
     val reps = docs
-      .withColumn("__fp", fingerprint(col(textCol)))
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2, col("id"))
+      .select(fingerprint(col("__text")).as("__fp"), col("id"),
+        simhash(col("__text")).as("sh"))
       .groupBy(col("__fp"))
-      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("__text"))
-    simhashPairsFromHashes(
-      reps
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2, col("id"))
-        .select(col("id"), simhash(col("__text")).as("sh")), maxDist)
+      .agg(min(col("id")).as("id"), first(col("sh")).as("sh"))
+      .select(col("id"), col("sh"))
+    simhashPairsFromHashes(reps, maxDist)
   }
 
   /** Exact n-gram Jaccard for candidate pairs (the precise verifier
@@ -323,10 +343,18 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // texts join first, shingles AFTER (round-6): the joins prune to
+    // pair members before the kernel runs, so shingling costs
+    // O(|pairs|), not O(|docs|) — the round-5 form shingled the whole
+    // corpus twice (once per join branch) to verify a pair-sized
+    // candidate set, and shuffled the shingle ARRAYS instead of the
+    // shorter raw text wherever the join shuffled
+    val t = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
     pairs
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .join(t.withColumnRenamed("id", "id_a").withColumnRenamed("__t", "__ta"), Seq("id_a"))
+      .join(t.withColumnRenamed("id", "id_b").withColumnRenamed("__t", "__tb"), Seq("id_b"))
+      .withColumn("sh_a", shingles(col("__ta"), n))
+      .withColumn("sh_b", shingles(col("__tb"), n))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
@@ -351,10 +379,14 @@ object Dedup {
   def shingleContainment(docs: DataFrame, pairs: DataFrame, n: Int = 3,
                          minContainment: Double = 0.9,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // texts join first, shingles AFTER the pruning joins (round-6, the
+    // ngramJaccard rationale): kernel cost O(|pairs|), not O(|docs|)
+    val t = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
     pairs
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .join(t.withColumnRenamed("id", "id_a").withColumnRenamed("__t", "__ta"), Seq("id_a"))
+      .join(t.withColumnRenamed("id", "id_b").withColumnRenamed("__t", "__tb"), Seq("id_b"))
+      .withColumn("sh_a", shingles(col("__ta"), n))
+      .withColumn("sh_b", shingles(col("__tb"), n))
       .withColumn("n_shingles_a", size(col("sh_a")).cast("long"))
       .withColumn("n_shingles_b", size(col("sh_b")).cast("long"))
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
@@ -583,18 +615,31 @@ object Dedup {
       .select(col("n"), col("n").as("lbl"))
       .localCheckpoint()
     var labelIds = persisted -- preL
+    val lblType = labels.schema("lbl").dataType
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
       val nbr = e.join(labels.withColumnRenamed("n", "b"), Seq("b"))
         .select(col("a").as("n"), col("lbl"))
       val preN = persisted
-      val next = labels.unionByName(nbr)
-        .groupBy(col("n")).agg(min(col("lbl")).as("lbl"))
+      // ONE job per round (round-6): the old label rides the union as
+      // a nullable companion column (max ignores the nbr rows' nulls,
+      // and every n in the round has exactly one labels row, so __old
+      // is its previous label), and the convergence count is observed
+      // ON the checkpoint materialization itself — the round-5 form
+      // paid a second label-table join + count action per round just
+      // to learn whether anything moved.
+      val obs = new org.apache.spark.sql.Observation()
+      val next = labels.select(col("n"), col("lbl"), col("lbl").as("__old"))
+        .unionByName(nbr.select(col("n"), col("lbl"),
+          lit(null).cast(lblType).as("__old")))
+        .groupBy(col("n"))
+        .agg(min(col("lbl")).as("lbl"), max(col("__old")).as("__old"))
+        .observe(obs, sum(when(col("lbl") =!= col("__old"), 1L).otherwise(0L))
+          .as("__chg"))
         .localCheckpoint()
       val nextIds = persisted -- preN
-      changed = next.join(labels.withColumnRenamed("lbl", "__old"), Seq("n"))
-        .filter(col("lbl") =!= col("__old")).count()
+      changed = Option(obs.get("__chg")).collect { case l: Long => l }.getOrElse(0L)
       release(labelIds -- nextIds -- eIds)
       labelIds = nextIds
       labels = next

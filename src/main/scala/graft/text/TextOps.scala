@@ -104,16 +104,20 @@ object Stopwords {
 object Summarizer {
 
   def scoreSentences(sentences: IndexedSeq[String]): Array[Double] = {
+    // tokenize each sentence ONCE (round-6): the freq pass and the
+    // scoring pass consume the same pure tokenization — the old form
+    // ran the regex matcher twice per sentence for identical output
+    val toks: IndexedSeq[Vector[String]] = sentences.map(TextOps.tokenize)
     val freq = scala.collection.mutable.HashMap.empty[String, Int]
-    sentences.foreach { s =>
-      TextOps.tokenize(s).foreach { w =>
+    toks.foreach { ws =>
+      ws.foreach { w =>
         if (!Stopwords.set.contains(w)) freq.update(w, freq.getOrElse(w, 0) + 1)
       }
     }
     val maxFreq = if (freq.nonEmpty) freq.values.max.toDouble else 1.0
     val n = sentences.length
     Array.tabulate(n) { i =>
-      val words = TextOps.tokenize(sentences(i))
+      val words = toks(i)
       var score = 0.0
       words.foreach { w => freq.get(w).foreach(f => score += f / maxFreq) }
       if (words.nonEmpty) score /= words.length
