@@ -106,6 +106,10 @@ object GraftFunctions {
     org.apache.spark.sql.GraftBridge.toColumn(
       CountInSet(org.apache.spark.sql.GraftBridge.toExpression(arr), items))
 
+  def collapseWs(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      CollapseWs(org.apache.spark.sql.GraftBridge.toExpression(c)))
+
   def sentencesSql(c: Column): Column =
     org.apache.spark.sql.GraftBridge.toColumn(
       SentenceSplitSql(org.apache.spark.sql.GraftBridge.toExpression(c)))

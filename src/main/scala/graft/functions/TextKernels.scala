@@ -88,6 +88,39 @@ object TextKernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** One-pass byte-level twin of `trim(regexp_replace(s, "\s+", " "))`
+    * (round-6: the collapse ran as a java.util.regex
+    * Matcher.appendReplacement loop on every text span of the
+    * extraction pipeline and every fingerprint() call — measured ~7%
+    * of flagship task samples). Java's `\s` without UNICODE_CHARACTER_CLASS
+    * is exactly the six ASCII bytes [ \t\n\x0B\f\r]; every byte of a
+    * multi-byte UTF-8 codepoint is >= 0x80, so the byte scan can never
+    * split or match inside one, and SQL `trim` strips only the 0x20
+    * the collapse itself produced at the ends — so emitting nothing
+    * for leading/trailing runs and one 0x20 for interior runs is
+    * byte-for-byte the regex+trim composition.
+    */
+  def collapseWs(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    val n = b.length
+    val out = new Array[Byte](n)
+    var o = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c == 0x20 || c == 0x09 || c == 0x0A || c == 0x0B || c == 0x0C || c == 0x0D) {
+        if (o > 0) pendingSpace = true // leading runs vanish under trim
+      } else {
+        if (pendingSpace) { out(o) = 0x20; o += 1; pendingSpace = false }
+        out(o) = c
+        o += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
   def tokenCountBpe(s: UTF8String): Int = {
     val str = s.toString
     var count = 0
@@ -221,6 +254,28 @@ case class RollingFp31(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextKernels.rollingFp($c);")
   override protected def withNewChildInternal(newChild: Expression): RollingFp31 =
+    copy(child = newChild)
+}
+
+/** `graft_collapse_ws(s)` — whitespace-run collapse + trim as one
+  * native byte pass; the codegen twin of
+  * `trim(regexp_replace(s, "\s+", " "))` (law-checked in
+  * FunctionsSpec). Used by the extraction pipeline's text-span
+  * cleanup and by [[graft.ops.Dedup.normalizedText]].
+  */
+case class CollapseWs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"graft_collapse_ws expects STRING, got ${other.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.collapseWs(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.collapseWs($c);")
+  override protected def withNewChildInternal(newChild: Expression): CollapseWs =
     copy(child = newChild)
 }
 

@@ -55,30 +55,60 @@ object ImageOps {
       case k => throw new IllegalArgumentException(s"ksize $k")
     }
     val r = ksize / 2
+    val half = norm / 2
+    // Loop structure (round-6, profile-driven: preprocess was 33% of
+    // flagship task samples): the interior skips the per-access
+    // ref101 call/branches so the JIT can keep the convolution in
+    // straight-line array code, and the vertical pass accumulates
+    // whole rows per kernel tap (sequential reads instead of
+    // stride-w column walks). Integer addition is exactly
+    // associative, so the result is bit-identical to the naive form.
     val tmp = new Array[Int](w * h)
     var y = 0
     while (y < h) { // horizontal pass
+      val row = y * w
       var x = 0
-      while (x < w) {
+      val lo = math.min(r, w)
+      val hi = math.max(lo, w - r)
+      while (x < lo) { // left border (reflect-101)
         var acc = 0
         var k = -r
-        while (k <= r) { acc += kern(k + r) * px(y * w + ref101(x + k, w)); k += 1 }
-        tmp(y * w + x) = (acc + norm / 2) / norm
+        while (k <= r) { acc += kern(k + r) * px(row + ref101(x + k, w)); k += 1 }
+        tmp(row + x) = (acc + half) / norm
+        x += 1
+      }
+      while (x < hi) { // interior: direct reads
+        var acc = 0
+        var k = -r
+        while (k <= r) { acc += kern(k + r) * px(row + x + k); k += 1 }
+        tmp(row + x) = (acc + half) / norm
+        x += 1
+      }
+      while (x < w) { // right border
+        var acc = 0
+        var k = -r
+        while (k <= r) { acc += kern(k + r) * px(row + ref101(x + k, w)); k += 1 }
+        tmp(row + x) = (acc + half) / norm
         x += 1
       }
       y += 1
     }
     val out = new Array[Int](w * h)
+    val acc = new Array[Int](w)
     y = 0
-    while (y < h) { // vertical pass
-      var x = 0
-      while (x < w) {
-        var acc = 0
-        var k = -r
-        while (k <= r) { acc += kern(k + r) * tmp(ref101(y + k, h) * w + x); k += 1 }
-        out(y * w + x) = (acc + norm / 2) / norm
-        x += 1
+    while (y < h) { // vertical pass, row-accumulated
+      java.util.Arrays.fill(acc, 0)
+      var k = -r
+      while (k <= r) {
+        val src = ref101(y + k, h) * w
+        val kv = kern(k + r)
+        var x = 0
+        while (x < w) { acc(x) += kv * tmp(src + x); x += 1 }
+        k += 1
       }
+      val row = y * w
+      var x = 0
+      while (x < w) { out(row + x) = (acc(x) + half) / norm; x += 1 }
       y += 1
     }
     out
@@ -171,28 +201,59 @@ object ImageOps {
     i = 0
     while (i < blockSize) { kern(i) /= s; i += 1 }
 
+    // Loop structure (round-6, profile-driven — see gaussianBlur):
+    // interior columns read directly (no ref101 call/branch per tap),
+    // and the vertical pass accumulates whole rows per kernel tap.
+    // Per output pixel the taps still sum in ascending-k order, so
+    // the double accumulation — and therefore every threshold
+    // decision — is bit-identical to the naive form.
     val tmp = new Array[Double](w * h)
     var y = 0
-    while (y < h) {
+    while (y < h) { // horizontal pass
+      val row = y * w
       var x = 0
-      while (x < w) {
+      val lo = math.min(r, w)
+      val hi = math.max(lo, w - r)
+      while (x < lo) { // left border (reflect-101)
         var acc = 0.0
         var k = -r
-        while (k <= r) { acc += kern(k + r) * px(y * w + ref101(x + k, w)); k += 1 }
-        tmp(y * w + x) = acc
+        while (k <= r) { acc += kern(k + r) * px(row + ref101(x + k, w)); k += 1 }
+        tmp(row + x) = acc
+        x += 1
+      }
+      while (x < hi) { // interior: direct reads
+        var acc = 0.0
+        var k = -r
+        while (k <= r) { acc += kern(k + r) * px(row + x + k); k += 1 }
+        tmp(row + x) = acc
+        x += 1
+      }
+      while (x < w) { // right border
+        var acc = 0.0
+        var k = -r
+        while (k <= r) { acc += kern(k + r) * px(row + ref101(x + k, w)); k += 1 }
+        tmp(row + x) = acc
         x += 1
       }
       y += 1
     }
     val out = new Array[Int](w * h)
+    val acc = new Array[Double](w)
     y = 0
-    while (y < h) {
+    while (y < h) { // vertical pass, row-accumulated (ascending k)
+      java.util.Arrays.fill(acc, 0.0)
+      var k = -r
+      while (k <= r) {
+        val src = ref101(y + k, h) * w
+        val kv = kern(k + r)
+        var x = 0
+        while (x < w) { acc(x) += kv * tmp(src + x); x += 1 }
+        k += 1
+      }
+      val row = y * w
       var x = 0
       while (x < w) {
-        var acc = 0.0
-        var k = -r
-        while (k <= r) { acc += kern(k + r) * tmp(ref101(y + k, h) * w + x); k += 1 }
-        out(y * w + x) = if (px(y * w + x) > acc - c) 255 else 0
+        out(row + x) = if (px(row + x) > acc(x) - c) 255 else 0
         x += 1
       }
       y += 1

@@ -26,7 +26,11 @@ object Dedup {
     * fingerprints must never disagree about what "the same text" is.
     */
   def normalizedText(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    // native one-pass collapse+trim (round-6) — byte-for-byte the old
+    // trim(regexp_replace(lower(text), "\s+", " ")) (law-checked in
+    // FunctionsSpec); fingerprint() runs on every dedup path, so the
+    // Matcher.appendReplacement loop was pure per-row overhead
+    graft.functions.GraftFunctions.collapseWs(lower(text))
 
   /** Normalized-text key used by exact dedup / fingerprinting:
     * [[normalizedText]], md5.

@@ -52,7 +52,9 @@ object Html {
     val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
       replace(c, lit(e), lit(r))
     }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    // native collapse+trim kernel (round-6): byte-identical to
+    // trim(regexp_replace(decoded, "\s+", " "))
+    graft.functions.GraftFunctions.collapseWs(decoded)
   }
 
   /** One row per candidate content block: (doc_id, block_pos,

@@ -134,7 +134,9 @@ object ExtractJob {
       .select(
         col("doc_id"),
         when(isText, col("kind")).otherwise(lit(null).cast("string")).as("kind"),
-        when(isText, trim(regexp_replace(col("text"), "\\s+", " ")))
+        // native collapse+trim kernel (round-6): byte-identical to
+        // trim(regexp_replace(text, "\s+", " ")), one pass, no regex
+        when(isText, graft.functions.GraftFunctions.collapseWs(col("text")))
           .otherwise(lit("")).as("text"),
         when(isText, col("media_ref")).otherwise(lit("")).as("media_ref"),
         when(isText, col("offset")).otherwise(lit(null).cast("int")).as("offset"),

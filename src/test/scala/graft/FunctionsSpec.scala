@@ -319,6 +319,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(z.isNullAt(0))
   }
 
+  test("CollapseWs native == trim(regexp_replace(s, \\s+, ' ')) twin byte-for-byte; codegen on") {
+    import spark.implicits._
+    val data = Seq(
+      "", " ", "   ", "a", "  a  ", "a b", "a  b\t c",
+      "\t\n\u000B\f\r mixed \t runs \r\n", "\u000Bonly-vtab\u000B",
+      "ünï  cödé nbsp stays", // NBSP is NOT Java \s — must survive
+      "line1\nline2\r\nline3", "trail space ", " lead", "a\u2028b",
+      "multi   spaces    everywhere", "\ttabs\nnewlines\r")
+    val df = data.toDF("t").select(col("t"),
+      graft.functions.GraftFunctions.collapseWs(col("t")).as("native"),
+      trim(regexp_replace(col("t"), "\\s+", " ")).as("twin"))
+    df.collect().foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"collapse diverges for '${r.getString(0)}': " +
+          s"native='${r.getString(1)}' twin='${r.getString(2)}'")
+    }
+    // codegen + null propagation
+    val big = spark.range(0, 20000, 1, 4)
+      .select(concat(lit("  doc\t"), col("id"), lit("  x \n")).as("t"))
+      .select(graft.functions.GraftFunctions.collapseWs(col("t")).as("c"))
+    big.collect()
+    assert(big.queryExecution.executedPlan.toString.contains("*("))
+    val z = Seq("x").toDF("t")
+      .select(graft.functions.GraftFunctions.collapseWs(lit(null).cast("string"))).collect()(0)
+    assert(z.isNullAt(0))
+  }
+
   test("RollingFp31 / TokenCountBpe natives == their interpreted aggregate twins") {
     import spark.implicits._
     val data = Seq(
