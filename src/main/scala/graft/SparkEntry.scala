@@ -2131,19 +2131,31 @@ object SparkEntry {
     */
   private def summarizeSqlSpark(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(p(dir, "documents")).select(col("doc_id"), col("text"))
+    // pinned ONCE (round-6): sents feeds three DAG branches (n_sent,
+    // the token explode, the final join) and the token counts feed two
+    // (freq, per-sentence sums) — unpinned, the sentence split ran 4x
+    // and the tokenize 2x over the corpus. tokCnt collapses the token
+    // explode to (doc, idx, word, c) so the occurrence arithmetic
+    // below is exact long math on an aggregate: freq(word) = Σ c over
+    // sentences, score_sum = Σ f·c over a sentence's distinct words
+    // (= Σ f per occurrence, the round-5 form), n_words = Σ c.
     val sents = docs
       .select(col("doc_id"), posexplode(
         graft.functions.GraftFunctions.sentencesSql(col("text"))))
       .withColumnRenamed("pos", "idx").withColumnRenamed("col", "sentence")
+      .localCheckpoint()
     val n = sents.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sent"))
-    val toks = sents.select(col("doc_id"), col("idx"),
-      explode(graft.functions.GraftFunctions.tokenizeWords(col("sentence"))).as("word"))
+    val tokCnt = sents.select(col("doc_id"), col("idx"),
+        explode(graft.functions.GraftFunctions.tokenizeWords(col("sentence"))).as("word"))
+      .groupBy(col("doc_id"), col("idx"), col("word")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val stop = graft.text.Stopwords.set.toSeq
-    val freq = toks.filter(!col("word").isin(stop.map(lit): _*))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("f"))
-    val sentTok = toks.join(freq, Seq("doc_id", "word"), "left")
+    val freq = tokCnt.filter(!col("word").isin(stop.map(lit): _*))
+      .groupBy(col("doc_id"), col("word")).agg(sum(col("c")).as("f"))
+    val sentTok = tokCnt.join(freq, Seq("doc_id", "word"), "left")
       .groupBy(col("doc_id"), col("idx"))
-      .agg(sum(coalesce(col("f"), lit(0L))).as("score_sum"), count(lit(1)).as("n_words"))
+      .agg(sum(coalesce(col("f"), lit(0L)) * col("c")).as("score_sum"),
+        sum(col("c")).as("n_words"))
     val scored = sents.join(sentTok, Seq("doc_id", "idx"), "left")
       .join(n, Seq("doc_id"))
       .withColumn("base",

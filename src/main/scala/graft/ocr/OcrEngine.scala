@@ -333,12 +333,21 @@ final class OcrEngine(val mode: String, val language: String = "eng") {
         }
         i += 1
       }
-      val trimmed = line.toString.replaceAll("\\s+$", "")
+      // trailing-space trim without regex (round-6: String.replaceAll
+      // recompiled its pattern on every line of every page): a decoded
+      // line holds only glyph chars and spaces, so stripping the
+      // trailing space run is exactly replaceAll("\\s+$", "")
+      var end = line.length
+      while (end > 0 && line.charAt(end - 1) == ' ') end -= 1
       if (r > 0) sb.append('\n')
-      sb.append(trimmed)
+      sb.append(line.substring(0, end))
       r += 1
     }
-    val text = sb.toString.replaceAll("\\n+$", "")
+    // trailing-newline strip == replaceAll("\\n+$", "") on a string
+    // whose only terminators are the '\n' separators appended above
+    var tEnd = sb.length
+    while (tEnd > 0 && sb.charAt(tEnd - 1) == '\n') tEnd -= 1
+    val text = sb.substring(0, tEnd)
     val confArr = confs.result()
     val kept = confArr.filter(_ != -1)
     val avg = if (kept.nonEmpty) kept.sum.toDouble / kept.length else 0.0

@@ -531,26 +531,25 @@ object Dedup {
     * the exploded paragraph table (id, idx, para); normalization is
     * the exact-dedup fingerprint (lowercase + whitespace collapse).
     *
-    * One hash shuffle on the 16-byte fingerprint; the keeper per
-    * gram is a min-of-struct AGGREGATE (map-side combine — a
-    * boilerplate paragraph repeated 10^9 times collapses in the
-    * partial agg, no window, no skew blowup), then a semi-join back.
+    * ONE hash shuffle on the 16-byte fingerprint and ONE pass over
+    * the paragraph table (round-6): the keeper row IS
+    * min(struct(id, idx, para)) per hash — lexicographic struct-min
+    * selects the lowest (id, idx) and, among duplicate input rows at
+    * that (doc, idx) (malformed but legal input), the min para, which
+    * is exactly what the round-5 form computed with a keeper
+    * aggregate + semi-join-back + re-aggregate; that form also
+    * evaluated the (typically chunker-fed) input TWICE, once per join
+    * branch. Map-side combine still collapses a boilerplate paragraph
+    * repeated 10^9 times in the partial agg — no window, no skew
+    * blowup.
     */
   def paragraphDedup(paras: DataFrame, idCol: String = "doc_id",
-                     idxCol: String = "idx", paraCol: String = "para"): DataFrame = {
-    val keyed = paras.withColumn("__h", fingerprint(col(paraCol)))
-    val keepers = keyed
+                     idxCol: String = "idx", paraCol: String = "para"): DataFrame =
+    paras.withColumn("__h", fingerprint(col(paraCol)))
       .groupBy(col("__h"))
-      .agg(min(struct(col(idCol), col(idxCol))).as("__k"))
-      .select(col("__h"), col("__k")(idCol).as(idCol), col("__k")(idxCol).as(idxCol))
-    keyed.join(keepers, Seq("__h", idCol, idxCol), "left_semi")
-      // EXACTLY one surviving row per paragraph hash: duplicate input
-      // rows at the keeper's (doc, idx) — malformed but legal input —
-      // would all pass the semi-join; min(para) picks deterministically
-      .groupBy(col("__h"), col(idCol), col(idxCol))
-      .agg(min(col(paraCol)).as(paraCol))
-      .select(col(idCol), col(idxCol), col(paraCol))
-  }
+      .agg(min(struct(col(idCol), col(idxCol), col(paraCol))).as("__k"))
+      .select(col("__k")(idCol).as(idCol), col("__k")(idxCol).as(idxCol),
+        col("__k")(paraCol).as(paraCol))
 
   /** Intra-document repeated-line removal (the RefinedWeb line-level
     * rule): within EACH document, every line whose normalized text

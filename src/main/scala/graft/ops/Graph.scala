@@ -54,22 +54,28 @@ object Graph {
       .select(col("node"), col("outdeg"))
       .localCheckpoint()
     val nNodes = base.count().toDouble
-    var ranks = base.select(col("node"),
+    // outdeg rides the rank frame across rounds (round-6): the old
+    // form re-joined ranks with the (node, outdeg) table every
+    // iteration just to recover the degree — carrying the column
+    // through the per-round checkpoint deletes one corpus-keyed join
+    // per iteration for the cost of one long per row. The final
+    // new-rank join is keyed on `base` so nodes with no inbound edges
+    // keep receiving the teleport + dangling mass, exactly as before.
+    var ranks = base.select(col("node"), col("outdeg"),
         round(lit(1.0) / lit(nNodes), 10).as("rank"))
       .localCheckpoint()
     var it = 0
     while (it < iters) {
-      val withDeg = ranks.join(base, Seq("node"))
-      val dangling = withDeg.filter(col("outdeg").isNull)
+      val dangling = ranks.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
-      val contrib = withDeg.filter(col("outdeg").isNotNull)
+      val contrib = ranks.filter(col("outdeg").isNotNull)
         .join(e, col("node") === col("src"))
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
-      ranks = base.select(col("node"))
+      ranks = base
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .select(col("node"), col("outdeg"),
           round(lit((1.0 - damping) / nNodes) +
             lit(damping) * (coalesce(col("__in"), lit(0.0)) +
               col("__dm") / lit(nNodes)), 10).as("rank"))

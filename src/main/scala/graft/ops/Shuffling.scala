@@ -61,8 +61,14 @@ object Shuffling {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
     val spark = df.sparkSession
     val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
-    val ranged = df
-      .withColumn("__v", valueCol.cast("long"))
+    // pin the INPUT before the range exchange (round-6):
+    // RangePartitioner's bounds sampling scans every partition of its
+    // child, so an expensive upstream (q72's corpus-wide NB scoring
+    // feeds this directly) was computed twice — once for the sample,
+    // once for the shuffle. Materializing df first makes the sampling
+    // pass read the pinned blocks instead of re-running the lineage.
+    val pinned = df.withColumn("__v", valueCol.cast("long")).localCheckpoint()
+    val ranged = pinned
       .repartitionByRange(p, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
