@@ -300,6 +300,27 @@ object GraftProps extends Properties("graft") {
       graft.functions.TextKernels.rollingFp(UTF8String.fromString(s)) == h
     }
 
+  property("TextOps.tokenize ASCII fast path == UNICODE \\w+ regex on any string") = {
+    val wordPat = java.util.regex.Pattern.compile(
+      "\\w+", java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+    def ref(s: String): Vector[String] = {
+      val m = wordPat.matcher(s.toLowerCase)
+      val out = Vector.newBuilder[String]
+      while (m.find()) out += m.group()
+      out.result()
+    }
+    // chars chosen to cross the fast-path boundary: ASCII words,
+    // punctuation, whitespace variants, accented letters (non-ASCII
+    // \w members), NBSP, a Kelvin sign (lowercases INTO ascii 'k'),
+    // and an emoji-class codepoint
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '\t', '\n', '.', ',', '!', '_', '-'),
+      1 -> Gen.oneOf('é', 'Ü', 'ß', ' ', 'K', '世', ' '))
+    forAll(Gen.listOf(charGen).map(_.mkString)) { s =>
+      TextOps.tokenize(s) == ref(s)
+    }
+  }
+
   property("despeckle3 is identity when every pixel has a similar neighbor") =
     forAll(Gen.choose(3, 12), Gen.choose(3, 12), Gen.choose(0, 200)) { (w, h, base) =>
       // constant-ish image (gradient within +-1 per step): every pixel
