@@ -52,8 +52,13 @@ object BenchOne {
       // SERIAL driver-side rename pass at job commit (v1): the v1
       // pass over 64 bucket dirs is a fixed driver fraction that the
       // 4N leg pays at 4x relative weight (it cannot parallelize with
-      // cores) — the standard production setting for local/HDFS-like
-      // filesystems with atomic rename
+      // cores). BENCH-ONLY setting (round-5 ADVICE): v2's task-side
+      // commit is NOT atomic under task failure/speculation and can
+      // leave partial or duplicated files — acceptable in this
+      // throwaway-output bench JVM, but do NOT copy it into
+      // ExtractJob/production writer configs, where output integrity
+      // depends on the v1 job-commit protocol (or a real table
+      // format's commit)
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

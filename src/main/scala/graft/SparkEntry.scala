@@ -114,8 +114,16 @@ object SparkEntry {
       // residual case is the all-separator string (-> 0). Keeps the
       // whole projection in whole-stage codegen (`filter` is an
       // interpreted per-element HOF; round-4 verdict item 6).
+      // \A/\z anchors (round-5 ADVICE): Java `$` also matches BEFORE a
+      // final line terminator, and U+2028/U+2029/U+0085 are Java line
+      // terminators but NOT `\s` — text ending "<space>U+2028" had its
+      // separator space stripped by `\s+$`, merging the terminator
+      // into the last token and diverging n_ws_tokens from the
+      // filter(split()) twin and the RE2 oracle. `\z` matches only
+      // the true end of input: exact equivalence on any corpus
+      // (latent on this ASCII one — same output, hardened form).
       def cnt(sep: String) = {
-        val stripped = regexp_replace(col("text"), s"^$sep|$sep$$", "")
+        val stripped = regexp_replace(col("text"), s"\\A$sep|$sep\\z", "")
         when(stripped === "", 0).otherwise(size(split(stripped, sep)))
       }
       s.read.parquet(p(dir, "documents"))

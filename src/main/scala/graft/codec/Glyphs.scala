@@ -29,6 +29,12 @@ object Glyphs {
   final val H = 7
   final val PIX = W * H // 35
 
+  // COUPLED CONSTANT (round-5 ADVICE): the x21_health DuckDB oracle
+  // pins 'graft-glyph-matrix/<alphabet.length>' and the language list
+  // as string literals (SparkEntry.oracleSql "x21_health"). An
+  // alphabet resize or added language is a legitimate engine change,
+  // but it MUST update that oracle in the same commit or the whole
+  // x21 row surfaces as an opaque hash mismatch.
   val alphabet: String = "abcdefghijklmnopqrstuvwxyz0123456789.!?,"
 
   /** Thresholds spanning where Otsu empirically lands on rendered pages
