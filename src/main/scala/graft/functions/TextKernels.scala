@@ -40,8 +40,6 @@ object TextKernels {
     h
   }
 
-  private val SENT_SPLIT = java.util.regex.Pattern.compile("[.!?]\\s+")
-
   /** The SQL summarize chain's sentence splitter:
     * `filter(transform(split(text, "[.!?]\\s+"), trim), _ != "")` —
     * consuming split (the DuckDB-parity form; RE2 has no lookbehind),
@@ -50,17 +48,37 @@ object TextKernels {
     * empties dropped.
     */
   def sentenceSplitSql(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val pieces = SENT_SPLIT.split(s.toString, -1)
-    val kept = new java.util.ArrayList[Any](pieces.length)
+    // byte-level twin of Pattern("[.!?]\\s+").split(str, -1) + trim(' ') + drop
+    // empties (round-6). Exact on EVERY input, no ASCII guard needed:
+    // the delimiter chars [.!?] and Java default-mode `\s` (six ASCII
+    // bytes) are all < 0x80, and no byte of a multi-byte UTF-8
+    // codepoint is < 0x80, so byte comparisons can never fire inside
+    // one — the scan sees exactly the matches the regex engine sees,
+    // greedy \s+ run included (law-checked in GraftProps).
+    val b = s.getBytes
+    val n = b.length
+    @inline def isWs(c: Byte): Boolean =
+      c == 0x20 || c == 0x09 || c == 0x0A || c == 0x0B || c == 0x0C || c == 0x0D
+    val kept = new java.util.ArrayList[Any]()
+    var start = 0
     var i = 0
-    while (i < pieces.length) {
-      val p = pieces(i)
-      var a = 0
-      var b = p.length
-      while (a < b && p.charAt(a) == ' ') a += 1
-      while (b > a && p.charAt(b - 1) == ' ') b -= 1
-      if (b > a) kept.add(UTF8String.fromString(p.substring(a, b))): Unit
-      i += 1
+    while (i <= n) {
+      val atDelim = i < n && (b(i) == '.' || b(i) == '!' || b(i) == '?') &&
+        i + 1 < n && isWs(b(i + 1))
+      if (i == n || atDelim) {
+        // piece = [start, i); SQL trim strips 0x20 only
+        var a = start
+        var e = i
+        while (a < e && b(a) == 0x20) a += 1
+        while (e > a && b(e - 1) == 0x20) e -= 1
+        if (e > a) kept.add(UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(b, a, e))): Unit
+        if (i < n) {
+          i += 2 // consume the delimiter char + first ws byte
+          while (i < n && isWs(b(i))) i += 1
+          start = i
+        } else i += 1
+      } else i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(kept.toArray)
   }
@@ -70,6 +88,39 @@ object TextKernels {
   private val WORD_SPLIT = java.util.regex.Pattern.compile("\\W+")
 
   def tokenXxhash64(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.getBytes
+    if (AsciiScan.allAscii(b)) {
+      // byte-scan fast path (round-6, the AsciiScan contract): tokens
+      // are maximal [a-zA-Z0-9_] runs; each is lowercased into a
+      // reused scratch and hashed directly — identical bytes, hence
+      // identical seed-42 xxhash64, to the regex+String path.
+      val n = b.length
+      val out = new Array[Long](AsciiScan.countTokens(b))
+      var maxTok = 0
+      var i = 0
+      while (i < n) {
+        if (AsciiScan.isWord(b(i))) {
+          val st = i
+          while (i < n && AsciiScan.isWord(b(i))) i += 1
+          if (i - st > maxTok) maxTok = i - st
+        } else i += 1
+      }
+      val scratch = new Array[Byte](maxTok)
+      var j = 0
+      i = 0
+      while (i < n) {
+        if (AsciiScan.isWord(b(i))) {
+          val st = i
+          while (i < n && AsciiScan.isWord(b(i))) i += 1
+          var k = st
+          while (k < i) { scratch(k - st) = AsciiScan.lower(b(k)); k += 1 }
+          out(j) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            UTF8String.fromBytes(scratch, 0, i - st), StringType, 42L)
+          j += 1
+        } else i += 1
+      }
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
     val toks = WORD_SPLIT.split(s.toLowerCase.toString, -1)
     var n = 0
     var i = 0
@@ -130,11 +181,28 @@ object TextKernels {
       if (pieces(i).nonEmpty) count += 1
       i += 1
     }
-    val toks = WORD_SPLIT.split(s.toLowerCase.toString, -1)
-    i = 0
-    while (i < toks.length) {
-      if (toks(i).nonEmpty) count += toks(i).length / 4
-      i += 1
+    // the `\W+` component only needs token LENGTHS: on the ASCII fast
+    // path (see AsciiScan) those are the word-byte run lengths, no
+    // allocation at all; lowercase cannot change a run's length on
+    // pure-ASCII input
+    val b = s.getBytes
+    if (AsciiScan.allAscii(b)) {
+      var k = 0
+      val n = b.length
+      while (k < n) {
+        if (AsciiScan.isWord(b(k))) {
+          val st = k
+          while (k < n && AsciiScan.isWord(b(k))) k += 1
+          count += (k - st) / 4
+        } else k += 1
+      }
+    } else {
+      val toks = WORD_SPLIT.split(s.toLowerCase.toString, -1)
+      i = 0
+      while (i < toks.length) {
+        if (toks(i).nonEmpty) count += toks(i).length / 4
+        i += 1
+      }
     }
     count
   }

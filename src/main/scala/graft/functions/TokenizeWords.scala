@@ -15,16 +15,85 @@ import org.apache.spark.unsafe.types.UTF8String
   * (interpreted per-row tree walks — the same CodegenFallback cost
   * class round 2 measured on the similarity paths).
   */
+/** Shared byte-level scanner for the `\W+` tokenizer family.
+  *
+  * Java's default-mode `\w` is EXACTLY `[a-zA-Z0-9_]` (no
+  * UNICODE_CHARACTER_CLASS anywhere in these kernels), so the tokens
+  * of `split(s, "\\W+")` are precisely the maximal runs of those four
+  * ASCII byte classes — every other character, including every byte of
+  * a multi-byte UTF-8 codepoint (all >= 0x80), is a separator. A byte
+  * scan therefore reproduces the regex split exactly on ANY input.
+  * The only step that can escape ASCII is `toLowerCase` (e.g. Kelvin
+  * sign U+212A lowercases INTO 'k'), so the lowercasing variants keep
+  * a pure-ASCII guard and fall back to the regex path otherwise —
+  * the same guard recipe as `TextOps.tokenize` and `collapseWs`.
+  * Law-checked against the regex twins in GraftProps/FunctionsSpec.
+  */
+private[functions] object AsciiScan {
+  @inline def isWord(c: Byte): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  @inline def lower(c: Byte): Byte =
+    if (c >= 'A' && c <= 'Z') (c | 0x20).toByte else c
+
+  /** true iff every byte is < 0x80 (bytes are signed: >= 0). */
+  def allAscii(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) { if (b(i) < 0) return false; i += 1 }
+    true
+  }
+
+  /** number of maximal word-byte runs */
+  def countTokens(b: Array[Byte]): Int = {
+    var cnt = 0
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      if (isWord(b(i))) { cnt += 1; while (i < n && isWord(b(i))) i += 1 }
+      else i += 1
+    }
+    cnt
+  }
+}
+
 object TokenizeKernel {
   private val SPLIT = java.util.regex.Pattern.compile("\\W+")
 
-  def eval(text: UTF8String): ArrayData = evalImpl(text.toLowerCase.toString)
+  def eval(text: UTF8String): ArrayData = {
+    val b = text.getBytes
+    if (AsciiScan.allAscii(b)) tokensAscii(b, toLower = true)
+    else evalImpl(text.toLowerCase.toString)
+  }
 
   /** Case-preserving variant: `filter(split(text, "\\W+"), _ != "")`
     * with NO lowercase — the chunk/paragraph builders' tokenizer
-    * (their DuckDB oracles tokenize case-preserving).
+    * (their DuckDB oracles tokenize case-preserving). No lowercase
+    * means no char can cross the ASCII boundary, so the byte scan is
+    * exact on every input — no guard needed.
     */
-  def evalRaw(text: UTF8String): ArrayData = evalImpl(text.toString)
+  def evalRaw(text: UTF8String): ArrayData = tokensAscii(text.getBytes, toLower = false)
+
+  private def tokensAscii(b: Array[Byte], toLower: Boolean): ArrayData = {
+    val n = b.length
+    val out = new Array[Any](AsciiScan.countTokens(b))
+    var j = 0
+    var i = 0
+    while (i < n) {
+      if (AsciiScan.isWord(b(i))) {
+        val st = i
+        while (i < n && AsciiScan.isWord(b(i))) i += 1
+        val tok = java.util.Arrays.copyOfRange(b, st, i)
+        if (toLower) {
+          var k = 0
+          while (k < tok.length) { tok(k) = AsciiScan.lower(tok(k)); k += 1 }
+        }
+        out(j) = UTF8String.fromBytes(tok)
+        j += 1
+      } else i += 1
+    }
+    new GenericArrayData(out)
+  }
 
   private def evalImpl(s: String): ArrayData = {
     val raw = SPLIT.split(s)

@@ -129,9 +129,17 @@ object ImageOps {
     val hist = new Array[Long](256)
     var i = 0
     while (i < px.length) { hist(px(i)) += 1; i += 1 }
-    val total = px.length.toDouble
+    otsuFromHist(hist, px.length)
+  }
+
+  /** Otsu argmax over a prebuilt 256-bin histogram — the shared tail of
+    * [[otsuThreshold]] and the fused [[blurOtsu]] path; arithmetic is
+    * identical (same double accumulation order over bins).
+    */
+  private def otsuFromHist(hist: Array[Long], n: Int): Int = {
+    val total = n.toDouble
     var sumAll = 0.0
-    i = 0
+    var i = 0
     while (i < 256) { sumAll += i * hist(i).toDouble; i += 1 }
     var wB = 0.0; var sumB = 0.0
     var best = -1.0; var bestT = 0
@@ -177,6 +185,100 @@ object ImageOps {
     val t = otsuThreshold(px)
     if (invert) px.map(p => if (p > t) 0 else 255)
     else px.map(p => if (p > t) 255 else 0)
+  }
+
+  /** Fused `thresholdOtsu(gaussianBlur(px, w, h, ksize), invert)` —
+    * the OCR preprocess "default"/"quality" chain as 3 full-image
+    * passes instead of 5 (round-6, profile-driven: preprocess was the
+    * hottest flagship frame at 19% of task samples after the loop
+    * restructure). The 256-bin histogram rides the blur's vertical
+    * pass as each output value is produced; the low-contrast guard
+    * reads min/max as the first/last nonzero bins (equal by definition
+    * to the pixel min/max); the Otsu argmax runs on that histogram via
+    * the shared [[otsuFromHist]]; binarization overwrites the blur
+    * output in place. Every arithmetic step is the composition's own
+    * (histogram counts are order-free, the bin walk is shared code),
+    * so the result is bit-identical to the unfused chain — law-checked
+    * in GraftProps including 1xN / Nx1 / w<r degenerates.
+    */
+  def blurOtsu(px: Array[Int], w: Int, h: Int, ksize: Int,
+               invert: Boolean = false): Array[Int] = {
+    val (kern, norm) = ksize match {
+      case 3 => (Array(1, 2, 1), 4)
+      case 5 => (Array(1, 4, 6, 4, 1), 16)
+      case k => throw new IllegalArgumentException(s"ksize $k")
+    }
+    val r = ksize / 2
+    val half = norm / 2
+    val tmp = new Array[Int](w * h)
+    var y = 0
+    while (y < h) { // horizontal pass (identical to gaussianBlur)
+      val row = y * w
+      var x = 0
+      val lo = math.min(r, w)
+      val hi = math.max(lo, w - r)
+      while (x < lo) {
+        var acc = 0
+        var k = -r
+        while (k <= r) { acc += kern(k + r) * px(row + ref101(x + k, w)); k += 1 }
+        tmp(row + x) = (acc + half) / norm
+        x += 1
+      }
+      while (x < hi) {
+        var acc = 0
+        var k = -r
+        while (k <= r) { acc += kern(k + r) * px(row + x + k); k += 1 }
+        tmp(row + x) = (acc + half) / norm
+        x += 1
+      }
+      while (x < w) {
+        var acc = 0
+        var k = -r
+        while (k <= r) { acc += kern(k + r) * px(row + ref101(x + k, w)); k += 1 }
+        tmp(row + x) = (acc + half) / norm
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Int](w * h)
+    val hist = new Array[Long](256)
+    val acc = new Array[Int](w)
+    y = 0
+    while (y < h) { // vertical pass + histogram
+      java.util.Arrays.fill(acc, 0)
+      var k = -r
+      while (k <= r) {
+        val src = ref101(y + k, h) * w
+        val kv = kern(k + r)
+        var x = 0
+        while (x < w) { acc(x) += kv * tmp(src + x); x += 1 }
+        k += 1
+      }
+      val row = y * w
+      var x = 0
+      while (x < w) {
+        val v = (acc(x) + half) / norm
+        out(row + x) = v
+        hist(v) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // low-contrast guard from the histogram: min/max pixel values are
+    // the first/last nonzero bins
+    var mn = 0
+    while (mn < 255 && hist(mn) == 0L) mn += 1
+    var mx = 255
+    while (mx > 0 && hist(mx) == 0L) mx -= 1
+    if (out.length == 0 || mx - mn < minContrast) {
+      java.util.Arrays.fill(out, if (invert) 0 else 255)
+      return out
+    }
+    val t = otsuFromHist(hist, out.length)
+    var i = 0
+    if (invert) { while (i < out.length) { out(i) = if (out(i) > t) 0 else 255; i += 1 } }
+    else { while (i < out.length) { out(i) = if (out(i) > t) 255 else 0; i += 1 } }
+    out
   }
 
   /** Adaptive Gaussian threshold, blockSize x blockSize window, bias C:

@@ -35,10 +35,9 @@ object OcrEngine {
       case "balanced" =>
         ImageOps.adaptiveGaussian(ImageOps.gaussianBlur(px, w, h, 3), w, h, 11, 2.0)
       case "quality" =>
-        ImageOps.morphClose(
-          ImageOps.thresholdOtsu(ImageOps.gaussianBlur(px, w, h, 5)), w, h, 1, 1)
+        ImageOps.morphClose(ImageOps.blurOtsu(px, w, h, 5), w, h, 1, 1)
       case _ => // "default"
-        ImageOps.thresholdOtsu(ImageOps.gaussianBlur(px, w, h, 3))
+        ImageOps.blurOtsu(px, w, h, 3)
     }
 
   /** v2 resize caps by quality (`app2.py:214-223`); v1 cap 1500. */

@@ -13,16 +13,49 @@ object TextOps {
     * Java and Python lookbehind semantics agree here; this split can
     * produce at most a trailing empty element in Python (the lookbehind
     * needs a preceding char and `\s+` is greedy), which Python filters
-    * right after — Java's `split` drops it already, so indices of kept
+    * right after — limit-0 `split` drops it already, so indices of kept
     * sentences line up exactly.
-    */
-  private val sentencePat = Pattern.compile("(?<=[.!?])\\s+")
-
-  /** Raw split — keeps un-stripped sentences and their original indices
+    *
+    * Raw split — keeps un-stripped sentences and their original indices
     * (structure analysis numbers sentence ids over the raw list,
     * `app.py:903-909`).
+    *
+    * Char-scan twin of `Pattern("(?<=[.!?])\\s+").split(text)` (round-6; the regex
+    * matcher held ~2% of flagship task samples through the
+    * summarizer). Exact on every input: the lookbehind class [.!?]
+    * and Java default-mode `\s` are all ASCII chars, which no
+    * surrogate or other non-ASCII char can match, so a separator is
+    * precisely a maximal ws run whose preceding char is sentence
+    * punctuation — the run is consumed, the punctuation stays with
+    * the left piece, and trailing empty pieces drop exactly as
+    * limit-0 `split` drops them (law-checked in GraftProps).
     */
-  def splitSentencesRaw(text: String): Array[String] = sentencePat.split(text)
+  def splitSentencesRaw(text: String): Array[String] = {
+    val n = text.length
+    @inline def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    @inline def isPunct(c: Char): Boolean = c == '.' || c == '!' || c == '?'
+    val pieces = new scala.collection.mutable.ArrayBuffer[String]()
+    var start = 0
+    var i = 1
+    while (i < n) {
+      if (isWs(text.charAt(i)) && isPunct(text.charAt(i - 1))) {
+        pieces += text.substring(start, i)
+        i += 1
+        while (i < n && isWs(text.charAt(i))) i += 1
+        start = i
+        i += 1 // the char at `start` was just checked not-ws (or is past end)
+      } else i += 1
+    }
+    // no match -> the input itself, verbatim (JDK split returns [""]
+    // for empty input; trailing empties are dropped only after a match)
+    if (pieces.isEmpty) return Array(text)
+    pieces += text.substring(start, n)
+    // limit-0 split drops trailing empties
+    var last = pieces.length
+    while (last > 0 && pieces(last - 1).isEmpty) last -= 1
+    pieces.take(last).toArray
+  }
 
   /** `split_into_sentences` (`app.py:441-445`): strip + drop empties. */
   def splitSentences(text: String): Vector[String] =

@@ -321,6 +321,114 @@ object GraftProps extends Properties("graft") {
     }
   }
 
+  // boundary-crossing generator shared by the \W+ byte-scan law checks:
+  // ASCII words/punct/ws, accented letters, NBSP, Kelvin sign (lowercases
+  // INTO ascii 'k'), CJK, line/para separators — both fast and fallback
+  // paths get exercised, and the lowercase-into-ASCII trap is covered
+  private val wsplitCharGen = Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(' ', '\t', '\n', '.', ',', '!', '_', '-'),
+    1 -> Gen.oneOf('é', 'Ü', 'ß', ' ', 'K', '世', ' '))
+  private val wsplitTextGen = Gen.listOf(wsplitCharGen).map(_.mkString)
+
+  private def refWSplit(s: String): Vector[String] =
+    Vector.from("\\W+".r.split(s)).filter(_.nonEmpty)
+
+  property("TokenizeKernel byte scan == lower+\\W+ regex split on any string") =
+    forAll(wsplitTextGen) { s =>
+      import org.apache.spark.unsafe.types.UTF8String
+      def arr(a: org.apache.spark.sql.catalyst.util.ArrayData): Vector[String] =
+        Vector.tabulate(a.numElements())(i => a.getUTF8String(i).toString)
+      val u = UTF8String.fromString(s)
+      arr(graft.functions.TokenizeKernel.eval(u)) ==
+        refWSplit(u.toLowerCase.toString) &&
+        arr(graft.functions.TokenizeKernel.evalRaw(u)) == refWSplit(s)
+    }
+
+  property("ShingleKernel byte scan == string-set twin on any string and n") =
+    forAll(wsplitTextGen, Gen.choose(1, 4)) { (s, n) =>
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      import org.apache.spark.sql.types.StringType
+      import org.apache.spark.unsafe.types.UTF8String
+      val toks = refWSplit(UTF8String.fromString(s).toLowerCase.toString)
+      val shingles =
+        if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toVector.distinct
+        else Vector(toks.mkString(" "))
+      val want = shingles.map(sh => java.lang.Math.floorMod(
+        XxHash64Function.hash(UTF8String.fromString(sh), StringType, 42L), 2147483647L))
+      val got = graft.functions.ShingleKernel.eval(UTF8String.fromString(s), n)
+      Vector.tabulate(got.numElements())(i => got.getLong(i)) == want
+    }
+
+  property("tokenXxhash64 byte scan == regex+String hash path on any string") =
+    forAll(wsplitTextGen) { s =>
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      import org.apache.spark.sql.types.StringType
+      import org.apache.spark.unsafe.types.UTF8String
+      val u = UTF8String.fromString(s)
+      val want = refWSplit(u.toLowerCase.toString).map(t =>
+        XxHash64Function.hash(UTF8String.fromString(t), StringType, 42L))
+      val got = graft.functions.TextKernels.tokenXxhash64(u)
+      Vector.tabulate(got.numElements())(i => got.getLong(i)) == want
+    }
+
+  property("tokenCountBpe ASCII fast path == full regex form on any string") =
+    forAll(wsplitTextGen) { s =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val u = UTF8String.fromString(s)
+      val bpeSplit = java.util.regex.Pattern.compile(
+        "(?=[0-9])(?<=[^0-9])|(?=[^0-9a-zA-Z])|\\s+")
+      val ref = bpeSplit.split(s, -1).count(_.nonEmpty) +
+        refWSplit(u.toLowerCase.toString).map(_.length / 4).sum
+      graft.functions.TextKernels.tokenCountBpe(u) == ref
+    }
+
+  property("sentenceSplitSql byte scan == [.!?]\\s+ regex split + trim on any string") = {
+    val sentPat = java.util.regex.Pattern.compile("[.!?]\\s+")
+    def ref(s: String): Vector[String] =
+      Vector.from(sentPat.split(s, -1))
+        .map(p => { // SQL trim: spaces (0x20) only
+          var a = 0; var b = p.length
+          while (a < b && p.charAt(a) == ' ') a += 1
+          while (b > a && p.charAt(b - 1) == ' ') b -= 1
+          p.substring(a, b)
+        })
+        .filter(_.nonEmpty)
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf('.', '!', '?', ' ', '\t', '\n', '\u000B', '\f', '\r'),
+      1 -> Gen.oneOf('é', '世', ' ', ' '))
+    forAll(Gen.listOf(charGen).map(_.mkString)) { s =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val got = graft.functions.TextKernels.sentenceSplitSql(UTF8String.fromString(s))
+      Vector.tabulate(got.numElements())(i => got.getUTF8String(i).toString) == ref(s)
+    }
+  }
+
+  property("blurOtsu == thresholdOtsu(gaussianBlur) bit-for-bit, incl. degenerates") =
+    forAll(Gen.choose(1, 40), Gen.choose(1, 40), Gen.oneOf(3, 5), Gen.oneOf(true, false),
+      Gen.choose(0L, Long.MaxValue)) { (w, h, k, inv, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // mix low-contrast (all-near-128) and full-range images so both
+      // the guard branch and the otsu branch are exercised
+      val px = if (seed % 3 == 0) Array.fill(w * h)(120 + rnd.nextInt(8))
+               else Array.fill(w * h)(rnd.nextInt(256))
+      val want = ImageOps.thresholdOtsu(ImageOps.gaussianBlur(px, w, h, k), inv)
+      val got = ImageOps.blurOtsu(px, w, h, k, inv)
+      got.toSeq == want.toSeq
+    }
+
+  property("splitSentencesRaw char scan == lookbehind regex split on any string") = {
+    val pat = java.util.regex.Pattern.compile("(?<=[.!?])\\s+")
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf('.', '!', '?', ' ', '\t', '\n', '\u000B', '\f', '\r'),
+      1 -> Gen.oneOf('é', '世', ' ', ' '))
+    forAll(Gen.listOf(charGen).map(_.mkString)) { s =>
+      TextOps.splitSentencesRaw(s).toSeq == pat.split(s).toSeq
+    }
+  }
+
   property("despeckle3 is identity when every pixel has a similar neighbor") =
     forAll(Gen.choose(3, 12), Gen.choose(3, 12), Gen.choose(0, 200)) { (w, h, base) =>
       // constant-ish image (gradient within +-1 per step): every pixel
