@@ -112,6 +112,40 @@ object KernelBench {
     time("tokenHash byte-scan") { utf8.foldLeft(0L)((a, u) => a ^ sumLongs(graft.functions.TextKernels.tokenXxhash64(u))) }
     time("sentSplit regex (ref)") { utf8.foldLeft(0L)((a, u) => a + refSent(u)) }
     time("sentSplit byte-scan") { utf8.foldLeft(0L)((a, u) => a + sumArr(graft.functions.TextKernels.sentenceSplitSql(u))) }
+
+    // image-kernel section: the OCR preprocess chain over rasters
+    // rendered from the first docs (the flagship's real image shapes)
+    {
+      val px = texts.take(200).zipWithIndex.map { case (t, i) =>
+        val bytes = graft.codec.SynthRaster.render(t, i.toLong)
+        val (w, h, g) = graft.img.ImageCodec.decode(bytes)
+        (g, w, h)
+      }
+      val totalPx = px.map { case (_, w, h) => w.toLong * h }.sum
+      def timeImg(name: String)(body: => Long): Unit = {
+        var best = Double.MaxValue
+        var sink = 0L
+        var r = 0
+        while (r < reps) {
+          val t0 = System.nanoTime()
+          sink ^= body
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (dt < best) best = dt
+          r += 1
+        }
+        println(f"[kernelbench] $name%-28s best ${best * 1000}%8.2f ms  ${totalPx / best / 1e6}%8.1f Mpx/s  (sink $sink)")
+      }
+      timeImg("blur3+otsu unfused (ref)") {
+        px.foldLeft(0L) { case (a, (g, w, h)) =>
+          a + graft.img.ImageOps.thresholdOtsu(graft.img.ImageOps.gaussianBlur(g, w, h, 3))(0)
+        }
+      }
+      timeImg("blurOtsu fused") {
+        px.foldLeft(0L) { case (a, (g, w, h)) =>
+          a + graft.img.ImageOps.blurOtsu(g, w, h, 3)(0)
+        }
+      }
+    }
     spark.stop()
   }
 }
